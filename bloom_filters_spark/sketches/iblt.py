@@ -1,0 +1,179 @@
+"""Invertible Bloom Lookup Table — set reconciliation sketch.
+
+Semantics match the reference ``InvertibleBloomFilter``
+(``/root/reference/src/iblt/invertible-bloom-lookup-tables.ts``):
+
+* ``size = ceil(alpha * d)`` rounded up to a multiple of k
+  (``invertible-bloom-lookup-tables.ts:65-76``),
+* cells ``{idSum: bytes (XOR with leading-zero strip, src/utils.ts:64-85),
+  hashSum: int32 (XOR), count: int}`` (``src/iblt/cell.ts:17-67``),
+* ``substract`` = cellwise XOR / count-diff (``:152-168``),
+* ``decode`` peels pure cells (count = ±1 and genHash(idSum) == hashSum)
+  → {additional, missing, success} (``:212-283``).
+
+Hash substitution: the reference uses XXH128 (``:172,189``); offline we
+derive indexes/checksums from seeded XXH64 — decode-law semantics are
+hash-agnostic (asserted by the reference's own tests,
+``tests/iblt.test.ts:124-170``).
+
+In the engine, ``A.substract(B).decode()`` is the sketch-parity version
+of ``A exceptAll B`` — used for cheap checkpoint-diff tooling; the
+relational path is a full_outer join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64
+from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+
+
+def xor_bytes(a: bytes, b: bytes) -> bytes:
+    """Non-destructive right-aligned XOR with leading-zero strip
+    (reference xorUint8Array, src/utils.ts:64-85)."""
+    n = max(len(a), len(b))
+    a = a.rjust(n, b"\x00")
+    b = b.rjust(n, b"\x00")
+    out = bytes(x ^ y for x, y in zip(a, b))
+    return out.lstrip(b"\x00")
+
+
+class InvertibleBloomFilter(SketchBase):
+    def __init__(self, size: int, hash_count: int = 3, seed: int = DEFAULT_SEED,
+                 alpha: float | None = None):
+        if hash_count <= 0:
+            raise ValueError("hash_count must be positive")
+        super().__init__(seed)
+        self.hash_count = hash_count
+        self.size = size
+        self.id_sums: list[bytes] = [b"" for _ in range(size)]
+        self.hash_sums = [0] * size
+        self.counts = [0] * size
+
+    @classmethod
+    def create(cls, d: int, alpha: float = 2.0, hash_count: int = 3,
+               seed: int = DEFAULT_SEED):
+        size = math.ceil(alpha * d)
+        size += (hash_count - (size % hash_count)) % hash_count
+        return cls(size, hash_count, seed)
+
+    def _gen_hash(self, data: bytes) -> int:
+        # checksum hash (reference uses xxh128 seed+125 → first 4 BE bytes
+        # as signed int32; we derive from seeded xxh64)
+        h = xxh64(data, self.seed + 125)
+        v = (h >> 32) & 0xFFFFFFFF
+        return v - 0x100000000 if v >= 0x80000000 else v
+
+    def _gen_indexes(self, data: bytes) -> list[int]:
+        # k distinct-ish indexes via incrementing salt (reference :170-205)
+        out = []
+        salt = 0
+        seen = set()
+        while len(out) < self.hash_count:
+            h = xxh64(data, self.seed + salt)
+            idx = h % self.size
+            if idx not in seen:
+                seen.add(idx)
+                out.append(idx)
+            salt += 1
+        return out
+
+    def _apply(self, element: str | bytes, delta: int):
+        data = element.encode("utf-8") if isinstance(element, str) else element
+        chk = self._gen_hash(data)
+        for idx in self._gen_indexes(data):
+            self.id_sums[idx] = xor_bytes(self.id_sums[idx], data)
+            self.hash_sums[idx] ^= chk
+            self.counts[idx] += delta
+
+    def add(self, element):
+        self._apply(element, 1)
+
+    def add_batch(self, elements):
+        for e in elements:
+            self.add(e)
+
+    def remove(self, element):
+        self._apply(element, -1)
+
+    def has(self, element):
+        """'maybe'/True/False membership per the reference semantics."""
+        data = element.encode("utf-8") if isinstance(element, str) else element
+        for idx in self._gen_indexes(data):
+            if self.counts[idx] == 0:
+                return False
+            if self.counts[idx] == 1:
+                return self.id_sums[idx] == data.lstrip(b"\x00")
+        return "maybe"
+
+    def substract(self, other: "InvertibleBloomFilter") -> "InvertibleBloomFilter":
+        if self.size != other.size or self.hash_count != other.hash_count:
+            raise ValueError("cannot subtract IBLTs with different configs")
+        out = InvertibleBloomFilter(self.size, self.hash_count, self.seed)
+        for i in range(self.size):
+            out.id_sums[i] = xor_bytes(self.id_sums[i], other.id_sums[i])
+            out.hash_sums[i] = self.hash_sums[i] ^ other.hash_sums[i]
+            out.counts[i] = self.counts[i] - other.counts[i]
+        return out
+
+    def _is_pure(self, i: int) -> bool:
+        if self.counts[i] not in (1, -1):
+            return False
+        return self._gen_hash(self.id_sums[i]) == self.hash_sums[i]
+
+    def decode(self):
+        """Peel pure cells → {additional, missing, success}."""
+        additional, missing = [], []
+        work = InvertibleBloomFilter(self.size, self.hash_count, self.seed)
+        work.id_sums = list(self.id_sums)
+        work.hash_sums = list(self.hash_sums)
+        work.counts = list(self.counts)
+        queue = [i for i in range(work.size) if work._is_pure(i)]
+        while queue:
+            i = queue.pop()
+            if not work._is_pure(i):
+                continue
+            data = work.id_sums[i]
+            if work.counts[i] == 1:
+                additional.append(data)
+                work._apply(data, -1)
+            else:
+                missing.append(data)
+                work._apply(data, 1)
+            queue.extend(j for j in range(work.size) if work._is_pure(j))
+        success = all(
+            c == 0 and h == 0 and s == b""
+            for c, h, s in zip(work.counts, work.hash_sums, work.id_sums)
+        )
+        return {"additional": additional, "missing": missing, "success": success}
+
+    def list_entries(self):
+        return self.decode()["additional"]
+
+    def to_json_obj(self) -> dict:
+        import base64
+
+        return {
+            "_size": self.size,
+            "_hashCount": self.hash_count,
+            "_elements": [
+                {
+                    "_idSum": base64.b64encode(s).decode("ascii"),
+                    "_hashSum": h,
+                    "_count": c,
+                }
+                for s, h, c in zip(self.id_sums, self.hash_sums, self.counts)
+            ],
+            "_seed": export_bigint(self.seed),
+        }
+
+    @classmethod
+    def from_json_obj(cls, obj: dict) -> "InvertibleBloomFilter":
+        import base64
+
+        f = cls(obj["_size"], obj["_hashCount"], import_bigint(obj["_seed"]))
+        f.id_sums = [base64.b64decode(e["_idSum"]) for e in obj["_elements"]]
+        f.hash_sums = [e["_hashSum"] for e in obj["_elements"]]
+        f.counts = [e["_count"] for e in obj["_elements"]]
+        return f

@@ -1,0 +1,164 @@
+"""XOR filter — immutable 3-wise membership structure.
+
+Semantics match the reference ``XorFilter``
+(``/root/reference/src/bloom/xor-filter.ts:60-291``): table of
+``round3(ceil(1.23*n) + 32)`` fingerprints split into 3 blocks; probe
+slots ``(h >> 21*i) mod blockLength + i*blockLength``; fingerprint
+``asUintN(bits, h ^ (h >> 32))``; build via the standard peeling
+algorithm, re-seeding from a deterministic PRNG until acyclic.
+
+Hash substitution: the reference uses XXH3-64 (``xor-filter.ts:138-140``);
+offline we use classic seeded XXH64 — the reference's own tests are
+statistical (>=0.99 TP/TN, ``tests/xor-filter.test.ts:15-43``), which is
+what we assert.  Construction is sequential by design → driver/executor-
+local; used for static deny/seen lists broadcast to a membership UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64
+from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+
+HASHES = 3
+ALLOWED_BITS = (8, 16, 32, 64)
+MASK64 = (1 << 64) - 1
+
+
+class XorFilter(SketchBase):
+    def __init__(self, size: int, bits_per_fingerprint: int = 8,
+                 seed: int = DEFAULT_SEED):
+        if bits_per_fingerprint not in ALLOWED_BITS:
+            raise ValueError(f"bits_per_fingerprint must be one of {ALLOWED_BITS}")
+        if size <= 0:
+            raise ValueError("a XorFilter must be calibrated for a given number of elements")
+        super().__init__(seed)
+        self.bits = bits_per_fingerprint
+        self.size = size
+        array_length = self._optimal_filter_size(size)
+        self.block_length = array_length // HASHES
+        self.filter = np.zeros(array_length, dtype=np.uint64)
+        self._build_seed = 0
+
+    @staticmethod
+    def _optimal_filter_size(size: int) -> int:
+        # ceil(1.23*n) + 32, rounded up to a multiple of 3 (xor-filter.ts:275-280)
+        l = math.ceil(1.23 * size) + 32
+        return l + ((3 - (l % 3)) % 3)
+
+    def _hash64(self, element, seed: int) -> int:
+        return xxh64(element, seed)
+
+    def _fingerprint(self, h: int) -> int:
+        return (h ^ (h >> 32)) & ((1 << self.bits) - 1)
+
+    def _hx(self, index: int, h: int) -> int:
+        # (h >> 21*i) mod blockLength (xor-filter.ts:146-150)
+        return (h >> (21 * index)) % self.block_length
+
+    def has(self, element) -> bool:
+        h = self._hash64(element, self._build_seed)
+        fp = self._fingerprint(h)
+        x = 0
+        for i in range(HASHES):
+            x ^= int(self.filter[self._hx(i, h) + i * self.block_length])
+        return fp == x
+
+    def has_batch(self, elements) -> np.ndarray:
+        return np.array([self.has(e) for e in elements], dtype=bool)
+
+    def add(self, elements: list):
+        if len(elements) != self.size:
+            raise ValueError(f"This filter has been created for exactly {self.size} elements")
+        if len(set(elements)) != len(elements):
+            raise ValueError("This filter has duplicate values")
+        self._create(elements)
+        return self
+
+    @classmethod
+    def from_items(cls, elements, bits_per_fingerprint: int = 8,
+                   seed: int = DEFAULT_SEED) -> "XorFilter":
+        elements = list(elements)
+        f = cls(len(elements), bits_per_fingerprint, seed)
+        f.add(elements)
+        return f
+
+    def _create(self, elements):
+        n = self.size
+        table_len = len(self.filter)
+        rng = np.random.default_rng(self.seed)
+        while True:
+            self._build_seed = int(rng.integers(0, 2**31))
+            t2count = np.zeros(table_len, dtype=np.int64)
+            t2 = np.zeros(table_len, dtype=object)
+            t2[:] = 0
+            hashes = [self._hash64(k, self._build_seed) for k in elements]
+            ok = True
+            for h in hashes:
+                for hi in range(HASHES):
+                    slot = self._hx(hi, h) + hi * self.block_length
+                    t2[slot] ^= h
+                    if t2count[slot] > 120:
+                        ok = False
+                        break
+                    t2count[slot] += 1
+                if not ok:
+                    break
+            if not ok:
+                continue
+            # peel
+            stack = [i for i in range(table_len) if t2count[i] == 1]
+            reverse_order, reverse_h = [], []
+            while stack:
+                i = stack.pop()
+                if t2count[i] != 1:
+                    continue
+                k = t2[i]
+                found = i // self.block_length
+                t2count[i] -= 1
+                for hi in range(HASHES):
+                    if hi != found:
+                        slot = self._hx(hi, k) + hi * self.block_length
+                        t2count[slot] -= 1
+                        t2[slot] ^= k
+                        if t2count[slot] == 1:
+                            stack.append(slot)
+                reverse_order.append(k)
+                reverse_h.append(found)
+            if len(reverse_order) == n:
+                break
+        # assign fingerprints in reverse peel order
+        mask = (1 << self.bits) - 1
+        for i in range(len(reverse_order) - 1, -1, -1):
+            k = reverse_order[i]
+            found = reverse_h[i]
+            change = -1
+            x = self._fingerprint(k)
+            for hi in range(HASHES):
+                slot = self._hx(hi, k) + hi * self.block_length
+                if hi == found:
+                    change = slot
+                else:
+                    x ^= int(self.filter[slot])
+            self.filter[change] = np.uint64(x & mask)
+
+    def to_json_obj(self) -> dict:
+        return {
+            "_size": self.size,
+            "_bits": self.bits,
+            "_blockLength": self.block_length,
+            "_filter": [str(int(v)) for v in self.filter],
+            "_buildSeed": self._build_seed,
+            "_seed": export_bigint(self.seed),
+        }
+
+    @classmethod
+    def from_json_obj(cls, obj: dict) -> "XorFilter":
+        f = cls(obj["_size"], obj["_bits"], import_bigint(obj["_seed"]))
+        f.block_length = obj["_blockLength"]
+        f.filter = np.array([int(v) for v in obj["_filter"]], dtype=np.uint64)
+        f._build_seed = obj["_buildSeed"]
+        return f
