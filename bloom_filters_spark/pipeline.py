@@ -1,0 +1,176 @@
+"""Near-duplicate detection + clustering pipeline (the flagship flow).
+
+    pages/documents → shingles → MinHash signatures → LSH bands →
+    candidate pairs → Jaccard verify → connected components → clusters
+
+Stage boundaries (= shuffles): band grouping, pair dedup, verify join,
+label propagation.  Everything before banding is one map-only stage
+(JVM shingling + one Arrow-batched pandas UDF for signatures).
+
+Verification semantics: ``verify="estimate"`` applies the reference's
+``compareWith`` decision — (# equal signature positions)/k >= threshold
+(``/root/reference/src/sketch/min-hash.ts:117-132``) — which is the
+parity target for dup-pair recall.  ``verify="exact"`` uses exact
+Jaccard over shingle sets (the reference's own test oracle,
+``tests/min-hash.test.ts:8-11``).  ``"both"`` returns the two columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.hashing import DEFAULT_SEED
+from bloom_filters_spark.operators.components import connected_components
+from bloom_filters_spark.operators.minhash_spark import (
+    bands_expr,
+    estimated_jaccard_expr,
+    exact_jaccard_expr,
+    make_signature_udf,
+    signature_expr,
+)
+from bloom_filters_spark.operators.pairs import candidate_pairs
+from bloom_filters_spark.operators.shingles import DEFAULT_MAX_VALUE, shingles_expr
+from bloom_filters_spark.sketches.minhash import MinHashFactory
+
+
+@dataclass
+class NearDupConfig:
+    shingle_size: int = 3            # w words per shingle
+    num_hashes: int = 128            # k signature length
+    bands: int = 32                  # b (rows r = k // b)
+    max_value: int = DEFAULT_MAX_VALUE
+    seed: int = DEFAULT_SEED         # MinHash param RNG seed
+    threshold: float = 0.8           # Jaccard accept threshold
+    verify: str = "estimate"         # estimate | exact | both
+    max_band_group: int = 64         # all-pairs cap per LSH band group
+    lowercase: bool = True
+    signature_impl: str = "jvm"      # jvm (codegen built-ins) | pandas (Arrow UDF)
+
+    def __post_init__(self):
+        if self.num_hashes % self.bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_hashes // self.bands
+
+    def factory(self) -> MinHashFactory:
+        return MinHashFactory(self.num_hashes, self.max_value, self.seed)
+
+
+def with_shingles(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "shingles",
+        shingles_expr(F.col(text_col), cfg.shingle_size, cfg.max_value, cfg.lowercase),
+    )
+
+
+def with_signature(df: DataFrame, cfg: NearDupConfig) -> DataFrame:
+    """Adds ``signature``; drops docs with empty shingle sets (the
+    reference's empty-MinHash guard, min-hash.ts:75-77).
+
+    Both impls compute the identical signature; "jvm" keeps the whole
+    map stage in codegen (no Python workers), "pandas" is the
+    Arrow-batched kernel (useful where the params array would bloat the
+    plan, or k is very large).
+    """
+    df = df.filter(F.size("shingles") > 0)
+    if cfg.signature_impl == "pandas":
+        sig_udf = make_signature_udf(cfg.factory())
+        return df.withColumn("signature", sig_udf("shingles"))
+    return df.withColumn("signature", signature_expr(F.col("shingles"), cfg.factory()))
+
+
+def signatures(df: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, shingles, signature) — the map-only front half."""
+    return with_signature(
+        with_shingles(df.select(id_col, text_col), cfg, text_col), cfg
+    ).select(id_col, "shingles", "signature")
+
+
+def lsh_bands(sigs: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id") -> DataFrame:
+    """signatures → exploded (band_id, band_hash, doc_id)."""
+    return sigs.select(
+        id_col,
+        F.explode(bands_expr(F.col("signature"), cfg.bands, cfg.rows_per_band)).alias(
+            "band"
+        ),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def verified_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: NearDupConfig,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs → pairs with jaccard column(s), filtered at
+    cfg.threshold on the decision column."""
+    need_shingles = cfg.verify in ("exact", "both")
+    side_cols = [id_col, "signature"] + (["shingles"] if need_shingles else [])
+    s1 = sigs.select(
+        F.col(id_col).alias("id1"),
+        F.col("signature").alias("sig1"),
+        *([F.col("shingles").alias("sh1")] if need_shingles else []),
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("id2"),
+        F.col("signature").alias("sig2"),
+        *([F.col("shingles").alias("sh2")] if need_shingles else []),
+    )
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+
+    out_cols = [F.col("id1"), F.col("id2")]
+    est = estimated_jaccard_expr(F.col("sig1"), F.col("sig2"), cfg.num_hashes)
+    if cfg.verify == "estimate":
+        joined = joined.withColumn("jaccard_est", est)
+        decision = F.col("jaccard_est")
+        out_cols.append(F.col("jaccard_est"))
+    elif cfg.verify == "exact":
+        joined = joined.withColumn(
+            "jaccard", exact_jaccard_expr(F.col("sh1"), F.col("sh2"))
+        )
+        decision = F.col("jaccard")
+        out_cols.append(F.col("jaccard"))
+    else:  # both: decide on the exact value, report both
+        joined = joined.withColumn("jaccard_est", est).withColumn(
+            "jaccard", exact_jaccard_expr(F.col("sh1"), F.col("sh2"))
+        )
+        decision = F.col("jaccard")
+        out_cols += [F.col("jaccard"), F.col("jaccard_est")]
+
+    return joined.filter(decision >= F.lit(cfg.threshold)).select(*out_cols)
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    cfg: NearDupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    return_stages: bool = False,
+):
+    """Full pipeline: (id, text) → clusters(doc_id, cluster_id).
+
+    ``return_stages=True`` also returns {sigs, bands, candidates, pairs}
+    for testing/metrics.
+    """
+    cfg = cfg or NearDupConfig()
+    sigs = signatures(df, cfg, id_col, text_col)
+    bands = lsh_bands(sigs, cfg, id_col)
+    candidates = candidate_pairs(bands, cfg.max_band_group, id_col)
+    pairs = verified_pairs(candidates, sigs, cfg, id_col)
+    clusters = connected_components(
+        pairs, vertices=df.select(id_col), id_col=id_col
+    )
+    if return_stages:
+        return clusters, {
+            "sigs": sigs,
+            "bands": bands,
+            "candidates": candidates,
+            "pairs": pairs,
+        }
+    return clusters

@@ -1,0 +1,183 @@
+"""End-to-end near-dup pipeline tests against brute-force oracles.
+
+The oracle replicates the reference's decision procedure in
+numpy: shingle sets → MinHash signatures (same pinned params) →
+all-pairs ``compareWith`` ≥ threshold → union-find clusters
+(SURVEY.md §5.2 item 3).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.operators.minhash_spark import make_signature_udf
+from bloom_filters_spark.operators.shingles import shingle_set_py, shingles_expr
+from bloom_filters_spark.pipeline import (
+    NearDupConfig,
+    near_dup_pipeline,
+    signatures,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# oracle helpers
+# ---------------------------------------------------------------------------
+
+def brute_force_pairs(texts: dict[int, str], cfg: NearDupConfig):
+    """All-pairs reference decisions: (pairs at est-J >= threshold,
+    signature dict)."""
+    factory = cfg.factory()
+    ids = sorted(i for i, t in texts.items() if shingle_set_py(t, cfg.shingle_size))
+    sigs = {
+        i: factory.signature(
+            np.array(shingle_set_py(texts[i], cfg.shingle_size), dtype=np.int64)
+        )
+        for i in ids
+    }
+    mat = np.stack([sigs[i] for i in ids])
+    eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+    pairs = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if eq[ai, bi] >= cfg.threshold:
+                pairs.add((ids[ai], ids[bi]))
+    return pairs, sigs
+
+
+def union_find_clusters(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+# ---------------------------------------------------------------------------
+# unit: JVM expressions match python oracles
+# ---------------------------------------------------------------------------
+
+def test_shingles_jvm_matches_python(spark):
+    texts = [
+        "The quick  brown Fox jumps över the lazy dog",
+        "one two",
+        "single",
+        "  leading and trailing  ",
+        "repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", shingles_expr(F.col("text"), 3).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == shingle_set_py(t, 3), f"text {i!r}"
+
+
+def test_signature_jvm_pandas_and_numpy_agree(spark):
+    cfg = NearDupConfig(num_hashes=32, bands=8)
+    texts = [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta") for i in range(20)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    jvm = {r["doc_id"]: r["signature"]
+           for r in signatures(df, cfg).collect()}
+    cfg_p = NearDupConfig(num_hashes=32, bands=8, signature_impl="pandas")
+    pnd = {r["doc_id"]: r["signature"]
+           for r in signatures(df, cfg_p).collect()}
+    factory = cfg.factory()
+    for i, t in texts:
+        expected = factory.signature(
+            np.array(shingle_set_py(t, cfg.shingle_size), dtype=np.int64)
+        ).tolist()
+        assert jvm[i] == expected, f"jvm doc {i}"
+        assert pnd[i] == expected, f"pandas doc {i}"
+
+
+def test_signature_udf_handles_empty_and_batches():
+    import pandas as pd
+
+    cfg = NearDupConfig(num_hashes=8, bands=4)
+    udf_fn = make_signature_udf(cfg.factory()).func
+    s = pd.Series([[1, 2, 3], [], [99]])
+    out = udf_fn(s)
+    assert out[1] is None
+    factory = cfg.factory()
+    assert out[0] == factory.signature(np.array([1, 2, 3])).tolist()
+    assert out[2] == factory.signature(np.array([99])).tolist()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end vs brute force on real testdata documents
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def documents_texts(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return {r["doc_id"]: r["text"] for r in df.select("doc_id", "text").collect()}
+
+
+def test_pipeline_matches_brute_force_oracle(spark, documents_texts):
+    cfg = NearDupConfig(threshold=0.7, verify="estimate")
+    texts = documents_texts
+    oracle_pairs, _ = brute_force_pairs(texts, cfg)
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    clusters, stages = near_dup_pipeline(df, cfg, return_stages=True)
+    got_pairs = {
+        (r["id1"], r["id2"]) for r in stages["pairs"].collect()
+    }
+
+    # recall >= 0.99 vs the reference's all-pairs compareWith decisions
+    if oracle_pairs:
+        recall = len(got_pairs & oracle_pairs) / len(oracle_pairs)
+        assert recall >= 0.99, (
+            f"recall {recall}: missed {sorted(oracle_pairs - got_pairs)[:10]}"
+        )
+    # no false accepts: every returned pair satisfies the same decision rule
+    assert got_pairs <= oracle_pairs, sorted(got_pairs - oracle_pairs)[:10]
+
+    # cluster assignments match union-find over oracle pairs
+    # (only exact when LSH found every oracle pair; asserted above)
+    oracle_clusters = union_find_clusters(sorted(texts), oracle_pairs)
+    got_clusters = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got_clusters == oracle_clusters
+
+
+def test_pipeline_exact_verify_mode(spark, documents_texts):
+    """verify='exact' keeps only pairs with true shingle-Jaccard >= t."""
+    cfg = NearDupConfig(threshold=0.7, verify="exact")
+    texts = documents_texts
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    _, stages = near_dup_pipeline(df, cfg, return_stages=True)
+    for r in stages["pairs"].collect():
+        sa = set(shingle_set_py(texts[r["id1"]], cfg.shingle_size))
+        sb = set(shingle_set_py(texts[r["id2"]], cfg.shingle_size))
+        true_j = len(sa & sb) / len(sa | sb)
+        assert true_j == pytest.approx(r["jaccard"])
+        assert true_j >= cfg.threshold
+
+
+def test_hot_band_star_fallback(spark):
+    """An oversized band group (boilerplate) must still link its docs via
+    star pairs, without emitting O(n^2) pairs."""
+    boiler = " ".join(f"b{j}" for j in range(30))
+    docs = [(i, boiler) for i in range(100)]  # 100 identical docs
+    docs += [(200 + i, f"unique doc {i} with words {i*7} {i*13} {i*17} filler") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cfg = NearDupConfig(threshold=0.8, max_band_group=10)
+    clusters, stages = near_dup_pipeline(df, cfg, return_stages=True)
+    n_pairs = stages["candidates"].count()
+    assert n_pairs <= 200, n_pairs  # star linking, not 100*99/2
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert all(got[i] == 0 for i in range(100))
+    assert all(got[200 + i] == 200 + i for i in range(5))
