@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The flagship metric also reports dedup throughput (docs/sec) for the
+near-dup pipeline over the documents table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "near_dup_clusters",
+    "near_dup_pairs_exact",
+    "dedup_exact",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "top_event_types",
+    "cms_event_counts",
+    "hll_distinct_users",
+    "bloom_prune_semijoin",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "top_suppliers_per_nation",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from bloom_filters_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # warm up JVM + Python workers once so the first measured query isn't
+    # paying session bootstrap (sandbox worker spawn is slow)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    dedup_docs_per_sec = (
+        round(n_docs / timings["near_dup_clusters"], 1)
+        if timings.get("near_dup_clusters")
+        else None
+    )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "dedup_docs_per_sec": dedup_docs_per_sec,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

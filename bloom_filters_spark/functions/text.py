@@ -1,0 +1,121 @@
+"""Text-analysis columns for a training-data pipeline — all built-in
+Spark SQL expressions (JVM codegen, no Python) so they compose with
+scans and push down around them.
+
+Each function returns a Column; oracle-SQL equivalents live in
+``__spark_entry__.oracle_sql`` (DuckDB dialect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (empties excluded)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
+
+
+def word_tokens_expr(text: Column) -> Column:
+    """BPE-ish word/punct tokens: runs of word chars or single punct."""
+    return F.filter(
+        F.split(F.regexp_replace(text, r"(\w+|[^\w\s])", "$1"), ""),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _punct_ratio_raw(text: Column) -> Column:
+    n = F.length(text)
+    np_ = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return np_.cast("double") / F.when(n > 0, n).otherwise(F.lit(1))
+
+
+def _stopword_ratio_raw(text: Column, lang: str = "en") -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return n_sw.cast("double") / F.when(n > 0, n).otherwise(F.lit(1))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of non-word, non-space characters, rounded to 6dp."""
+    return F.round(_punct_ratio_raw(text), 6)
+
+
+def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords for ``lang``, rounded 6dp."""
+    return F.round(_stopword_ratio_raw(text, lang), 6)
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length gate, moderate punct,
+    nonzero stopword presence.
+
+    Weights are powers of two (0.5/0.25/0.25) and no rounding is applied,
+    so the result is a bit-identical double across engines (int/int
+    divisions are correctly rounded, power-of-two scaling is exact, and
+    the addition order is fixed) — comparisons on it are oracle-safe;
+    the raw value is not hash-safe (see quality_class_expr).
+    """
+    n_tok = token_count_expr(text)
+    len_ok = F.when(n_tok >= 10, 1.0).otherwise(n_tok.cast("double") / 10.0)
+    punct = _punct_ratio_raw(text)
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct - 0.2) * 2)
+    )
+    sw = _stopword_ratio_raw(text)
+    sw_ok = F.least(F.lit(1.0), sw * 5)
+    return len_ok * 0.5 + punct_ok * 0.25 + sw_ok * 0.25
+
+
+def quality_class_expr(text: Column) -> Column:
+    """Categorical quality bucket — hash-safe across engines (double
+    comparisons on bit-identical values, no rounding)."""
+    q = quality_score_expr(text)
+    return (
+        F.when(q >= 0.8, "high").when(q >= 0.5, "medium").otherwise("low")
+    )
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-vote language ID over {en,de,fr,es}; 'und' if no votes.
+
+    The classic cheap heuristic: count stopword hits per language,
+    argmax with deterministic tie-break (language name asc).
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on structs: max by n, then by lang DESC — we want lang ASC
+    # tie-break, so negate via sort: use aggregate to fold argmax manually
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).cast("int").alias("n"), F.lit("").alias("lang")),
+        lambda acc, s: F.when(s["n"] > acc["n"], s).otherwise(acc),
+    )
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint_expr(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of normalized text
+    (lowercased, whitespace collapsed) — the cheap exact-dup key."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.xxhash64(norm)

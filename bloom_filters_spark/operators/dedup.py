@@ -1,0 +1,165 @@
+"""Deduplication operators beyond MinHash-LSH: exact, SimHash, n-gram
+Jaccard — the standard large-scale training-data dedup toolbox.
+
+Exact and n-gram paths are pure built-ins; SimHash uses one Arrow-
+batched pandas UDF (bit-vote aggregation is not expressible as a cheap
+SQL fold at 64 bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bloom_filters_spark.functions.text import doc_fingerprint_expr
+from bloom_filters_spark.hashing import xxh64_u64
+from bloom_filters_spark.operators.minhash_spark import exact_jaccard_expr
+from bloom_filters_spark.operators.shingles import shingles_expr
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id): canonical = min doc id among byte-equal
+    normalized texts.  One shuffle (window over the fingerprint).
+    At cluster scale the fingerprint groupBy is the cheapest possible
+    dedup — 8-byte keys, map-side combine."""
+    w = Window.partitionBy("fp")
+    return (
+        df.select(id_col, doc_fingerprint_expr(F.col(text_col)).alias("fp"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .select(id_col, "canonical_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    w: int = 3,
+    prefix_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs share their first
+    ``prefix_tokens`` tokens (cheap deterministic blocking key), then
+    exact Jaccard over w-shingle sets.  Entirely built-ins.
+
+    ``hashed=True`` intersects int64 shingle hashes (8 bytes/shingle —
+    the scale path); default intersects shingle strings (bit-identical
+    to a SQL oracle, no hash-collision caveat).
+
+    Returns (id1, id2, inter, n_union, jaccard) with jaccard rounded 6dp.
+    """
+    from bloom_filters_spark.operators.shingles import (
+        shingle_strings_expr,
+        tokens_expr,
+    )
+
+    toks = tokens_expr(F.col(text_col))
+    sh = (
+        shingles_expr(F.col(text_col), w)
+        if hashed
+        else F.array_distinct(shingle_strings_expr(toks, w))
+    )
+    prepared = df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
+        sh.alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = prepared.select(
+        F.col("blk"), F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
+    )
+    b = prepared.select(
+        F.col("blk"), F.col(id_col).alias("id2"), F.col("sh").alias("sh2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        a.join(b, "blk")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            inter.alias("inter"),
+            union.alias("n_union"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_udf(w: int = 2, num_bits: int = 64):
+    """pandas UDF: token array → 64-bit SimHash (signed long).
+
+    Per doc: hash each w-gram to 64 bits (seeded XXH64 over the
+    xxhash64-style token hash), sum ±1 votes per bit, sign → bit.
+    Vectorized: votes accumulate via unpacked bit matrix per batch.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def simhash(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            grams = [" ".join(toks[j : j + w]) for j in range(max(len(toks) - w + 1, 1))]
+            # hash grams: python-side xxh64 per unique gram
+            from bloom_filters_spark.hashing import xxh64
+
+            hs = np.array([xxh64(g, 0) for g in set(grams)], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(num_bits):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = 2) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    return df.select(F.col(id_col), simhash_udf(w)(toks).alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs via the 4-block pigeonhole trick: split the
+    64-bit signature into 4 × 16-bit blocks; any pair within Hamming
+    distance <= 3 must agree on at least one block → equi-join per block
+    (4 shuffles on 16-bit keys), then exact Hamming filter via
+    bit_count(xor).  No O(n^2) comparisons."""
+    sims = simhash_table(df, id_col, text_col)
+    blocks = sims.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("block_id", "block_val"),
+    )
+    a = blocks.select(
+        "block_id", "block_val",
+        F.col(id_col).alias("id1"), F.col("simhash").alias("s1"),
+    )
+    b = blocks.select(
+        "block_id", "block_val",
+        F.col(id_col).alias("id2"), F.col("simhash").alias("s2"),
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
+    )
