@@ -37,27 +37,74 @@ def make_signature_udf(factory: MinHashFactory):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_signature(shingles: pd.Series) -> pd.Series:
-        lengths = shingles.map(len).to_numpy(dtype=np.int64)
-        total = int(lengths.sum())
+        # per-doc (n_shingles, k) kernel with a reused buffer.  A single
+        # flattened (total_shingles, k) matrix is asymptotically nicer but
+        # measured 36x SLOWER: the multi-GB allocation thrashes page
+        # faults, while per-doc temporaries stay in malloc's reused pools.
+        buf = np.empty((4096, k), dtype=np.int64)
         out = np.empty(len(shingles), dtype=object)
-        nonempty = lengths > 0
-        if total:
-            flat = np.concatenate(
-                [np.asarray(s, dtype=np.int64) for s in shingles[nonempty]]
-            )
-            # (total, k) hash matrix, then segment-min per document
-            hashes = (flat[:, None] * a[None, :] + b[None, :]) % c
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lengths[nonempty][:-1], out=starts[1:])
-            sigs = np.minimum.reduceat(hashes, starts, axis=0)
-            sig_iter = iter(sigs)
-            for i, ne in enumerate(nonempty):
-                out[i] = next(sig_iter).tolist() if ne else None
-        else:
-            out[:] = None
+        for i, doc in enumerate(shingles):
+            n = len(doc) if doc is not None else 0
+            if n == 0:
+                out[i] = None
+                continue
+            x = np.asarray(doc, dtype=np.int64)
+            m = buf[:n] if n <= buf.shape[0] else np.empty((n, k), dtype=np.int64)
+            np.multiply(x[:, None], a[None, :], out=m)
+            np.add(m, b[None, :], out=m)
+            np.remainder(m, c, out=m)
+            out[i] = m.min(axis=0).tolist()
         return pd.Series(out)
 
     return minhash_signature
+
+
+def make_token_signature_udf(factory: MinHashFactory, w: int = 3,
+                             max_value: int | None = None):
+    """Fused pandas UDF: array<long> token hashes → struct(shingles,
+    signature).  Combines the rolling-hash shingle derivation
+    (``combine_token_hashes``) with the MinHash kernel in one Arrow
+    stage — the pipeline's scale path (one Python stage, no
+    array<string> shingles ever materialized)."""
+    from bloom_filters_spark.operators.shingles import (
+        DEFAULT_MAX_VALUE,
+        combine_token_hashes,
+    )
+
+    a = factory.a.copy()
+    b = factory.b.copy()
+    c = factory.c
+    k = factory.nb_hashes
+    mv = max_value if max_value is not None else DEFAULT_MAX_VALUE
+
+    schema = T.StructType(
+        [
+            T.StructField("shingles", T.ArrayType(T.LongType())),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def token_signature(token_hashes: pd.Series) -> pd.DataFrame:
+        buf = np.empty((4096, k), dtype=np.int64)
+        sh_out = np.empty(len(token_hashes), dtype=object)
+        sig_out = np.empty(len(token_hashes), dtype=object)
+        for i, toks in enumerate(token_hashes):
+            if toks is None or len(toks) == 0:
+                sh_out[i] = None
+                sig_out[i] = None
+                continue
+            sh = combine_token_hashes(toks, w, mv).astype(np.int64)
+            n = len(sh)
+            m = buf[:n] if n <= buf.shape[0] else np.empty((n, k), dtype=np.int64)
+            np.multiply(sh[:, None], a[None, :], out=m)
+            np.add(m, b[None, :], out=m)
+            np.remainder(m, c, out=m)
+            sh_out[i] = sh.tolist()
+            sig_out[i] = m.min(axis=0).tolist()
+        return pd.DataFrame({"shingles": sh_out, "signature": sig_out})
+
+    return token_signature
 
 
 def signature_expr(shingles: Column, factory: MinHashFactory) -> Column:

@@ -47,7 +47,17 @@ class NearDupConfig:
     verify: str = "estimate"         # estimate | exact | both
     max_band_group: int = 64         # all-pairs cap per LSH band group
     lowercase: bool = True
-    signature_impl: str = "jvm"      # jvm (codegen built-ins) | pandas (Arrow UDF)
+    # signature kernel: "pandas" (Arrow-batched numpy, ~8k docs/s/32cores)
+    # or "jvm" (built-in transform/array_min — higher-order functions are
+    # interpreted, not codegen'd: measured 11x slower at 50k docs)
+    signature_impl: str = "pandas"
+    # shingle derivation: "token_hash" hashes each token once JVM-side and
+    # fuses the rolling shingle combine into the signature UDF (scale
+    # path); "string" materializes w-gram strings and xxhash64's each —
+    # measured 10x slower (interpreted string slicing), kept for
+    # SQL-oracle-checkable queries
+    shingle_impl: str = "token_hash"
+    cache_signatures: bool = True    # sigs feed banding AND both verify joins
 
     def __post_init__(self):
         if self.num_hashes % self.bands != 0:
@@ -87,6 +97,23 @@ def with_signature(df: DataFrame, cfg: NearDupConfig) -> DataFrame:
 def signatures(df: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(id, text) → (id, shingles, signature) — the map-only front half."""
+    if cfg.shingle_impl == "token_hash":
+        from bloom_filters_spark.operators.minhash_spark import (
+            make_token_signature_udf,
+        )
+        from bloom_filters_spark.operators.shingles import token_hashes_expr
+
+        udf = make_token_signature_udf(
+            cfg.factory(), cfg.shingle_size, cfg.max_value
+        )
+        return (
+            df.select(
+                id_col,
+                udf(token_hashes_expr(F.col(text_col), cfg.lowercase)).alias("ss"),
+            )
+            .filter(F.col("ss.signature").isNotNull())
+            .select(id_col, "ss.shingles", "ss.signature")
+        )
     return with_signature(
         with_shingles(df.select(id_col, text_col), cfg, text_col), cfg
     ).select(id_col, "shingles", "signature")
@@ -160,6 +187,10 @@ def near_dup_pipeline(
     """
     cfg = cfg or NearDupConfig()
     sigs = signatures(df, cfg, id_col, text_col)
+    if cfg.cache_signatures:
+        # sigs are consumed by banding and twice by the verify join; at
+        # cluster scale this boundary is a checkpoint table instead
+        sigs = sigs.persist()
     bands = lsh_bands(sigs, cfg, id_col)
     candidates = candidate_pairs(bands, cfg.max_band_group, id_col)
     pairs = verified_pairs(candidates, sigs, cfg, id_col)

@@ -27,13 +27,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def brute_force_pairs(texts: dict[int, str], cfg: NearDupConfig):
     """All-pairs reference decisions: (pairs at est-J >= threshold,
-    signature dict)."""
+    signature dict).  Uses the same shingle derivation as cfg."""
+    from bloom_filters_spark.operators.shingles import token_shingle_set_py
+
+    def sh(t):
+        if cfg.shingle_impl == "token_hash":
+            return token_shingle_set_py(t, cfg.shingle_size, cfg.max_value)
+        return shingle_set_py(t, cfg.shingle_size, cfg.max_value)
+
     factory = cfg.factory()
-    ids = sorted(i for i, t in texts.items() if shingle_set_py(t, cfg.shingle_size))
+    ids = sorted(i for i, t in texts.items() if len(sh(t)))
     sigs = {
-        i: factory.signature(
-            np.array(shingle_set_py(texts[i], cfg.shingle_size), dtype=np.int64)
-        )
+        i: factory.signature(np.array(sh(texts[i]), dtype=np.int64))
         for i in ids
     }
     mat = np.stack([sigs[i] for i in ids])
@@ -84,23 +89,33 @@ def test_shingles_jvm_matches_python(spark):
         assert got[i] == shingle_set_py(t, 3), f"text {i!r}"
 
 
-def test_signature_jvm_pandas_and_numpy_agree(spark):
-    cfg = NearDupConfig(num_hashes=32, bands=8)
+def test_signature_impls_agree_with_numpy(spark):
+    """All three signature paths (jvm expr, pandas UDF on string
+    shingles, fused token-hash UDF) match their python oracles."""
+    from bloom_filters_spark.operators.shingles import token_shingle_set_py
+
     texts = [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta") for i in range(20)]
     df = spark.createDataFrame(texts, "doc_id long, text string")
+    factory = NearDupConfig(num_hashes=32, bands=8).factory()
 
-    jvm = {r["doc_id"]: r["signature"]
+    for impl in ["jvm", "pandas"]:
+        cfg = NearDupConfig(num_hashes=32, bands=8, signature_impl=impl,
+                            shingle_impl="string")
+        got = {r["doc_id"]: r["signature"] for r in signatures(df, cfg).collect()}
+        for i, t in texts:
+            expected = factory.signature(
+                np.array(shingle_set_py(t, cfg.shingle_size), dtype=np.int64)
+            ).tolist()
+            assert got[i] == expected, f"{impl} doc {i}"
+
+    cfg = NearDupConfig(num_hashes=32, bands=8, shingle_impl="token_hash")
+    got = {r["doc_id"]: (r["shingles"], r["signature"])
            for r in signatures(df, cfg).collect()}
-    cfg_p = NearDupConfig(num_hashes=32, bands=8, signature_impl="pandas")
-    pnd = {r["doc_id"]: r["signature"]
-           for r in signatures(df, cfg_p).collect()}
-    factory = cfg.factory()
     for i, t in texts:
-        expected = factory.signature(
-            np.array(shingle_set_py(t, cfg.shingle_size), dtype=np.int64)
-        ).tolist()
-        assert jvm[i] == expected, f"jvm doc {i}"
-        assert pnd[i] == expected, f"pandas doc {i}"
+        sh = token_shingle_set_py(t, cfg.shingle_size, cfg.max_value)
+        expected = factory.signature(np.array(sh, dtype=np.int64)).tolist()
+        assert sorted(got[i][0]) == sorted(int(x) for x in sh), f"tok shingles {i}"
+        assert got[i][1] == expected, f"token_hash doc {i}"
 
 
 def test_signature_udf_handles_empty_and_batches():
@@ -126,8 +141,9 @@ def documents_texts(spark):
     return {r["doc_id"]: r["text"] for r in df.select("doc_id", "text").collect()}
 
 
-def test_pipeline_matches_brute_force_oracle(spark, documents_texts):
-    cfg = NearDupConfig(threshold=0.7, verify="estimate")
+@pytest.mark.parametrize("shingle_impl", ["token_hash", "string"])
+def test_pipeline_matches_brute_force_oracle(spark, documents_texts, shingle_impl):
+    cfg = NearDupConfig(threshold=0.7, verify="estimate", shingle_impl=shingle_impl)
     texts = documents_texts
     oracle_pairs, _ = brute_force_pairs(texts, cfg)
 
@@ -155,7 +171,7 @@ def test_pipeline_matches_brute_force_oracle(spark, documents_texts):
 
 def test_pipeline_exact_verify_mode(spark, documents_texts):
     """verify='exact' keeps only pairs with true shingle-Jaccard >= t."""
-    cfg = NearDupConfig(threshold=0.7, verify="exact")
+    cfg = NearDupConfig(threshold=0.7, verify="exact", shingle_impl="string")
     texts = documents_texts
     df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     _, stages = near_dup_pipeline(df, cfg, return_stages=True)
