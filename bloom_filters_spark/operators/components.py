@@ -18,12 +18,79 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 20,
     id_col: str = "doc_id",
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(id1, id2) → (doc_id, cluster_id = min id in component).
 
     If ``vertices`` is given (one column ``id_col``), isolated vertices
     appear in the output as their own singleton cluster.
+
+    Adaptive execution: the verified-pair edge set is usually tiny
+    relative to the corpus, so when it fits (<= driver_edge_threshold
+    rows) we collect it and run union-find on the driver — O(E α(E))
+    with zero shuffles — and broadcast the label map back.  Beyond the
+    threshold we fall back to distributed hash-min label propagation
+    (O(diameter) shuffled iterations).  Set the threshold to 0 to force
+    the distributed path.
     """
+    if driver_edge_threshold > 0:
+        # cheap upper-bound probe: count() on the edge set (it is about
+        # to be materialized for iteration anyway)
+        n_edges = edges.limit(driver_edge_threshold + 1).count()
+        if n_edges <= driver_edge_threshold:
+            return _components_driver(edges, vertices, id_col)
+    return _components_labelprop(edges, vertices, max_iter, id_col)
+
+
+def _components_driver(edges: DataFrame, vertices: DataFrame | None,
+                       id_col: str) -> DataFrame:
+    rows = edges.select("id1", "id2").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r["id1"]), find(r["id2"])
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    nodes = set(parent)
+    for r in rows:
+        nodes.add(r["id1"])
+        nodes.add(r["id2"])
+    labels = [(x, find(x)) for x in nodes]
+    spark = edges.sparkSession
+    if labels:
+        lbl_df = spark.createDataFrame(labels, f"{id_col} long, cluster_id long")
+    else:
+        lbl_df = spark.createDataFrame([], f"{id_col} long, cluster_id long")
+    if vertices is not None:
+        from pyspark.sql.functions import broadcast
+
+        return (
+            vertices.select(id_col)
+            .join(broadcast(lbl_df), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    return lbl_df
+
+
+def _components_labelprop(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int,
+    id_col: str,
+) -> DataFrame:
     sym = edges.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))

@@ -23,8 +23,57 @@ BAND_KEY = ["band_id", "band_hash"]
 
 
 def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
-                    id_col: str = "doc_id") -> DataFrame:
-    """bands(band_id, band_hash, doc_id) → pairs(id1, id2), id1 < id2."""
+                    id_col: str = "doc_id", mode: str = "grouped") -> DataFrame:
+    """bands(band_id, band_hash, doc_id) → pairs(id1, id2), id1 < id2.
+
+    mode="grouped" (default): ONE shuffle — groupBy(band key) with
+    map-side-combinable aggregates, pairs emitted from the collected id
+    list (all pairs under the cap, star pairs above it).  The collected
+    list is bounded: ids are 8 bytes and oversized groups degrade to
+    star linking, so even a 10^6-doc boilerplate band costs one 8MB
+    group row, not 10^12 join rows.
+
+    mode="join": window + self-equi-join — 3 shuffles, but never
+    materializes a group; kept for comparison and for engines where
+    collect_list memory is a concern.
+    """
+    if mode == "join":
+        return _candidate_pairs_join(bands, max_band_group, id_col)
+
+    grouped = (
+        bands.groupBy(*BAND_KEY)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    # all pairs (i<j) for small groups; star (min, other) for hot groups
+    small = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.filter(
+                F.transform(F.col("ids"), lambda y: F.when(x < y, F.struct(
+                    x.alias("id1"), y.alias("id2")))),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    anchor = F.array_min("ids")
+    star = F.filter(
+        F.transform(
+            F.col("ids"),
+            lambda y: F.when(y != anchor, F.struct(anchor.alias("id1"),
+                                                   y.alias("id2"))),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = grouped.select(
+        F.explode(F.when(n <= max_band_group, small).otherwise(star)).alias("p")
+    ).select("p.id1", "p.id2")
+    return pairs.dropDuplicates(["id1", "id2"])
+
+
+def _candidate_pairs_join(bands: DataFrame, max_band_group: int,
+                          id_col: str) -> DataFrame:
     w = Window.partitionBy(*BAND_KEY)
     sized = bands.withColumn("grp_n", F.count(F.lit(1)).over(w)).withColumn(
         "grp_min", F.min(id_col).over(w)

@@ -136,15 +136,30 @@ def verified_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate pairs → pairs with jaccard column(s), filtered at
-    cfg.threshold on the decision column."""
+    cfg.threshold on the decision column.
+
+    Join strategy: the set of docs participating in any candidate pair
+    is usually tiny relative to the corpus (dups are rare), so we first
+    semi-join the signature table down to participants, then join pairs
+    to that reduced side.  With AQE the reduced side typically falls
+    under the broadcast threshold → two broadcast joins instead of two
+    full shuffles of the (wide) signature table.  At adversarial pair
+    volumes AQE falls back to a shuffle join on the reduced table —
+    still strictly less data than joining the full signature table.
+    """
     need_shingles = cfg.verify in ("exact", "both")
-    side_cols = [id_col, "signature"] + (["shingles"] if need_shingles else [])
-    s1 = sigs.select(
+    ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .unionByName(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    side = sigs.join(ids, id_col, "left_semi")
+    s1 = side.select(
         F.col(id_col).alias("id1"),
         F.col("signature").alias("sig1"),
         *([F.col("shingles").alias("sh1")] if need_shingles else []),
     )
-    s2 = sigs.select(
+    s2 = side.select(
         F.col(id_col).alias("id2"),
         F.col("signature").alias("sig2"),
         *([F.col("shingles").alias("sh2")] if need_shingles else []),

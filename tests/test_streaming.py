@@ -1,0 +1,112 @@
+"""Structured Streaming dedup tests: file source → dedup → memory sink,
+driven synchronously with processAllAvailable (SURVEY.md §2.6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.sources.pages import PAGES_SCHEMA, generate_pages_pdf
+
+
+@pytest.fixture()
+def staged_pages(spark, tmp_path):
+    """Two micro-batch parquet drops with overlapping duplicate docs."""
+    import numpy as np
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf1 = generate_pages_pdf(np.arange(0, 300), seed=5)
+    pdf2 = generate_pages_pdf(np.arange(200, 500), seed=5)  # 100 overlap
+    spark.createDataFrame(pdf1, PAGES_SCHEMA).write.parquet(src + "/b1")
+    spark.createDataFrame(pdf2, PAGES_SCHEMA).write.parquet(src + "/b2")
+    return src
+
+
+def test_streaming_exact_dedup(spark, staged_pages, tmp_path):
+    from bloom_filters_spark.streaming.dedup import streaming_exact_dedup
+
+    static = spark.read.parquet(staged_pages + "/*")
+    stream = spark.readStream.schema(static.schema).parquet(staged_pages + "/*")
+    q = (
+        streaming_exact_dedup(stream, ts_col="warc_ts", key_col="url")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT url, count(*) AS n FROM dedup_out GROUP BY url")
+    assert out.filter(F.col("n") > 1).count() == 0
+    n_distinct = static.select("url").distinct().count()
+    assert spark.table("dedup_out").count() == n_distinct
+
+
+def test_streaming_fingerprint_dedup_bloom_state(spark, staged_pages):
+    from bloom_filters_spark.streaming.dedup import streaming_fingerprint_dedup
+
+    static = spark.read.parquet(staged_pages + "/*")
+    stream = spark.readStream.schema(static.schema).parquet(staged_pages + "/*")
+    q = (
+        streaming_fingerprint_dedup(stream, text_col="text", n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("fp_dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("fp_dedup_out")
+    # no two emitted rows share a fingerprint (no duplicates pass)
+    dup_fps = (
+        out.groupBy("fp").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_fps == 0
+    # Bloom FPs may drop a few novel docs, but the bulk must pass
+    from bloom_filters_spark.functions.text import doc_fingerprint_expr
+
+    n_distinct_fp = (
+        static.select(doc_fingerprint_expr(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert out.count() >= 0.99 * n_distinct_fp
+    assert out.count() <= n_distinct_fp
+
+
+def test_incremental_near_dup_foreachbatch(spark, tmp_path):
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import run_incremental_near_dup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: originals; batch 2: near-copies of batch-1 docs
+    pdf1 = generate_pages_pdf(np.arange(0, 200, 2), seed=9)   # even = originals
+    pdf2 = generate_pages_pdf(np.arange(1, 201, 2), seed=9)   # odd = mutations
+    spark.createDataFrame(pdf1, PAGES_SCHEMA).write.parquet(src + "/b1")
+    spark.createDataFrame(pdf2, PAGES_SCHEMA).write.parquet(src + "/b2")
+
+    static = spark.read.parquet(src + "/*")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .select("doc_id", "text")
+    )
+    store = str(tmp_path / "store")
+    cfg = NearDupConfig(threshold=0.8)
+    q = run_incremental_near_dup(
+        spark, stream, cfg, store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = spark.read.parquet(store + "/pairs")
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    # every exact-copy planted pair (odd = copy of odd-1 at mutation level
+    # 0.0) that landed in different batches must be found
+    assert len(got) > 0
+    for id1, id2 in got:
+        assert abs(id1 - id2) == 1  # only planted (2k, 2k+1) pairs exist
