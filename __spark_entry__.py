@@ -49,7 +49,11 @@ def q_near_dup_clusters(spark, sf_dir):
 def q_near_dup_pairs_exact(spark, sf_dir):
     """LSH candidates + exact verify over *string* shingle sets, so the
     DuckDB brute-force oracle can replicate bit-for-bit (integer
-    inter/union sizes; jaccard rounded 6dp)."""
+    inter/union sizes; jaccard rounded 6dp).
+
+    bands=64 (r=2) so the candidate stage misses a true >=0.7-Jaccard
+    pair with prob (1-j^2)^64 <= 2e-19 — the oracle comparison is
+    all-pairs, so candidate recall must be ~certain, not just >=0.99."""
     from bloom_filters_spark.operators.pairs import candidate_pairs
     from bloom_filters_spark.operators.shingles import (
         shingle_strings_expr,
@@ -57,7 +61,7 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     )
     from bloom_filters_spark.pipeline import NearDupConfig, lsh_bands, signatures
 
-    cfg = NearDupConfig(threshold=0.7)
+    cfg = NearDupConfig(threshold=0.7, num_hashes=128, bands=64)
     docs = _docs(spark, sf_dir)
     sigs = signatures(docs, cfg)
     cands = candidate_pairs(lsh_bands(sigs, cfg), cfg.max_band_group)

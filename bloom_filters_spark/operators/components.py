@@ -19,6 +19,7 @@ def connected_components(
     max_iter: int = 20,
     id_col: str = "doc_id",
     driver_edge_threshold: int = 2_000_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(id1, id2) → (doc_id, cluster_id = min id in component).
 
@@ -34,9 +35,11 @@ def connected_components(
     the distributed path.
     """
     if driver_edge_threshold > 0:
-        # cheap upper-bound probe: count() on the edge set (it is about
-        # to be materialized for iteration anyway)
-        n_edges = edges.limit(driver_edge_threshold + 1).count()
+        if n_edges is None:
+            # cheap upper-bound probe: count() on the edge set (it is
+            # about to be materialized for iteration anyway); callers
+            # that already materialized the edges pass n_edges to skip
+            n_edges = edges.limit(driver_edge_threshold + 1).count()
         if n_edges <= driver_edge_threshold:
             return _components_driver(edges, vertices, id_col)
     return _components_labelprop(edges, vertices, max_iter, id_col)

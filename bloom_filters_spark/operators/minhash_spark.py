@@ -138,6 +138,26 @@ def signature_expr(shingles: Column, factory: MinHashFactory) -> Column:
     )
 
 
+def bands_unrolled_expr(sig: Column, bands: int, rows: int) -> Column:
+    """Band structs as a LITERALLY UNROLLED array expression — unlike
+    ``bands_expr`` (transform/sequence higher-order functions, which
+    Spark evaluates interpreted), every slice/xxhash64 here is a plain
+    expression eligible for whole-stage codegen, and nothing crosses to
+    Python.  Semantics identical to ``bands_expr``.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_id"),
+                F.xxhash64(F.lit(i), F.slice(sig, i * rows + 1, rows)).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def bands_expr(sig: Column, bands: int, rows: int) -> Column:
     """signature → array of (band_id, band_hash) structs, JVM-side.
 

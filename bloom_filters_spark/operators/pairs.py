@@ -19,19 +19,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-BAND_KEY = ["band_id", "band_hash"]
+# the band hash is seeded with the band id in every band impl, so
+# grouping by the hash alone is equivalent to (band_id, band_hash) up to
+# 64-bit collisions (which only MERGE groups — extra candidates are
+# verified downstream, so recall is unaffected).  Dropping band_id cuts
+# the widest shuffle of the pipeline by ~25%.
+BAND_KEY = ["band_hash"]
 
 
 def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
                     id_col: str = "doc_id", mode: str = "grouped") -> DataFrame:
     """bands(band_id, band_hash, doc_id) → pairs(id1, id2), id1 < id2.
 
-    mode="grouped" (default): ONE shuffle — groupBy(band key) with
-    map-side-combinable aggregates, pairs emitted from the collected id
-    list (all pairs under the cap, star pairs above it).  The collected
-    list is bounded: ids are 8 bytes and oversized groups degrade to
-    star linking, so even a 10^6-doc boilerplate band costs one 8MB
-    group row, not 10^12 join rows.
+    mode="grouped" (default): ONE shuffle — groupBy(band key) straight
+    to collect_list (all pairs under the cap, star pairs above it).
+    Collected lists are bounded: ids are 8 bytes and oversized groups
+    degrade to star linking, so even a 10^6-doc boilerplate band costs
+    one 8MB group row, not 10^12 join rows.
+
+    mode="count_join": count per band_hash first (primitive partial-agg
+    state), broadcast the rare duplicated hashes back as a semi-join,
+    collect_list only the survivors.  Cuts per-key object buffers from
+    the big exchange, but consumes the band table TWICE — only pays off
+    when band generation is cheap relative to the exchange (measured
+    slower than "grouped" here, kept for cluster-scale corpora where
+    the collect_list state itself is the memory risk).
 
     mode="join": window + self-equi-join — 3 shuffles, but never
     materializes a group; kept for comparison and for engines where
@@ -40,8 +52,18 @@ def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
     if mode == "join":
         return _candidate_pairs_join(bands, max_band_group, id_col)
 
+    slim = bands.select(*BAND_KEY, id_col)
+    if mode == "count_join":
+        dup_hashes = (
+            slim.groupBy(*BAND_KEY)
+            .agg(F.count(F.lit(1)).alias("grp_n"))
+            .filter(F.col("grp_n") >= 2)
+            .select(*BAND_KEY)
+        )
+        slim = slim.join(F.broadcast(dup_hashes), BAND_KEY)
+
     grouped = (
-        bands.groupBy(*BAND_KEY)
+        slim.groupBy(*BAND_KEY)
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )

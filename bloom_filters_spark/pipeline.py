@@ -51,12 +51,28 @@ class NearDupConfig:
     # or "jvm" (built-in transform/array_min — higher-order functions are
     # interpreted, not codegen'd: measured 11x slower at 50k docs)
     signature_impl: str = "pandas"
-    # shingle derivation: "token_hash" hashes each token once JVM-side and
-    # fuses the rolling shingle combine into the signature UDF (scale
-    # path); "string" materializes w-gram strings and xxhash64's each —
-    # measured 10x slower (interpreted string slicing), kept for
-    # SQL-oracle-checkable queries
-    shingle_impl: str = "token_hash"
+    # shingle derivation:
+    # * "arrow" (default, the scale path): ONE mapInArrow stage doing
+    #   tokenize + token hash + shingle combine + MinHash entirely on
+    #   flat numpy buffers — zero per-row Python objects, no JVM
+    #   higher-order functions (which are interpreted, allocation-heavy,
+    #   and measured to ANTI-scale 8→32 cores on bandwidth-bound boxes);
+    #   emits int32 signatures and skips shingle materialization unless
+    #   verify needs exact Jaccard
+    # * "token_hash": JVM xxhash64 per token + fused pandas-UDF shingle
+    #   combine/MinHash — kept for parity with the xxhash64 token domain
+    # * "string": materializes w-gram strings, xxhash64 each —
+    #   SQL-oracle-checkable (DuckDB can recompute), 10x slower
+    shingle_impl: str = "arrow"
+    # LSH band hashing: "arrow" (default — vectorized mapInArrow over
+    # flat signature buffers; the JVM alternatives allocate a slice +
+    # struct per band per row, and that allocation rate is what caps the
+    # stage on bandwidth-bound hosts: measured flat 4.5s at 8 AND 32
+    # cores for "jvm_unrolled" vs 2.5s→1.0s scaling for "arrow"),
+    # "jvm_unrolled" (literally unrolled slice/xxhash64 expressions,
+    # codegen'd, no Python crossing), or "jvm_hof" (transform/sequence
+    # higher-order functions — interpreted, worst of both)
+    band_impl: str = "arrow"
     cache_signatures: bool = True    # sigs feed banding AND both verify joins
 
     def __post_init__(self):
@@ -96,7 +112,25 @@ def with_signature(df: DataFrame, cfg: NearDupConfig) -> DataFrame:
 
 def signatures(df: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """(id, text) → (id, shingles, signature) — the map-only front half."""
+    """(id, text) → (id[, shingles], signature) — the map-only front half.
+
+    The "arrow" impl only materializes shingle sets when the verify mode
+    needs exact Jaccard — in estimate mode the signature alone feeds
+    banding and verification, and shingle arrays are pure Arrow/persist
+    overhead (measured ~16s of 28s stage time at 200k docs × 32 cores).
+    """
+    if cfg.shingle_impl == "arrow":
+        from bloom_filters_spark.operators.arrow_sig import signatures_arrow
+
+        return signatures_arrow(
+            df,
+            cfg.factory(),
+            shingle_size=cfg.shingle_size,
+            max_value=cfg.max_value,
+            id_col=id_col,
+            text_col=text_col,
+            need_shingles=cfg.verify in ("exact", "both"),
+        )
     if cfg.shingle_impl == "token_hash":
         from bloom_filters_spark.operators.minhash_spark import (
             make_token_signature_udf,
@@ -121,9 +155,16 @@ def signatures(df: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id",
 
 def lsh_bands(sigs: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id") -> DataFrame:
     """signatures → exploded (band_id, band_hash, doc_id)."""
+    if cfg.band_impl == "arrow":
+        from bloom_filters_spark.operators.arrow_sig import bands_arrow
+
+        return bands_arrow(sigs, cfg.bands, cfg.rows_per_band, id_col)
+    from bloom_filters_spark.operators.minhash_spark import bands_unrolled_expr
+
+    expr = bands_unrolled_expr if cfg.band_impl == "jvm_unrolled" else bands_expr
     return sigs.select(
         id_col,
-        F.explode(bands_expr(F.col("signature"), cfg.bands, cfg.rows_per_band)).alias(
+        F.explode(expr(F.col("signature"), cfg.bands, cfg.rows_per_band)).alias(
             "band"
         ),
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -207,10 +248,18 @@ def near_dup_pipeline(
         # cluster scale this boundary is a checkpoint table instead
         sigs = sigs.persist()
     bands = lsh_bands(sigs, cfg, id_col)
-    candidates = candidate_pairs(bands, cfg.max_band_group, id_col)
-    pairs = verified_pairs(candidates, sigs, cfg, id_col)
+    # candidates feed THREE consumers inside the verify stage (the two
+    # id projections and the pair join) — without a persist the whole
+    # band shuffle + pair-emit recomputes three times
+    candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+    pairs = verified_pairs(candidates, sigs, cfg, id_col).persist()
+    # materialize the (tiny) verified edge set once; everything upstream
+    # (signatures, band shuffle) is then releasable before the iterative /
+    # driver-side components stage.  At cluster scale this boundary is
+    # the pairs checkpoint table (checkpoint.py).
+    n_pairs = pairs.count()
     clusters = connected_components(
-        pairs, vertices=df.select(id_col), id_col=id_col
+        pairs, vertices=df.select(id_col), id_col=id_col, n_edges=n_pairs
     )
     if return_stages:
         return clusters, {
@@ -219,4 +268,11 @@ def near_dup_pipeline(
             "candidates": candidates,
             "pairs": pairs,
         }
+    candidates.unpersist()
+    if cfg.cache_signatures:
+        sigs.unpersist()
+    # the components stage has already materialized its labels (driver
+    # union-find collects the edges; labelprop localCheckpoints), so the
+    # cached edge set can be released too
+    pairs.unpersist()
     return clusters

@@ -34,10 +34,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 12g, not "as much as the box has": on this DRAM-bandwidth-bound
+        # sandbox a huge G1 heap means huge young collections whose copying
+        # saturates memory bandwidth — measured 73s→18s warm pipeline at 32
+        # cores going 48g→12g with capped GC threads
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dio.netty.tryReflectionSetAccessible=true "
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -28,9 +28,12 @@ SF_DIR = "/root/testdata/sf0.001"
 def brute_force_pairs(texts: dict[int, str], cfg: NearDupConfig):
     """All-pairs reference decisions: (pairs at est-J >= threshold,
     signature dict).  Uses the same shingle derivation as cfg."""
+    from bloom_filters_spark.operators.arrow_sig import arrow_shingle_set_py
     from bloom_filters_spark.operators.shingles import token_shingle_set_py
 
     def sh(t):
+        if cfg.shingle_impl == "arrow":
+            return arrow_shingle_set_py(t, cfg.shingle_size, cfg.max_value)
         if cfg.shingle_impl == "token_hash":
             return token_shingle_set_py(t, cfg.shingle_size, cfg.max_value)
         return shingle_set_py(t, cfg.shingle_size, cfg.max_value)
@@ -141,7 +144,7 @@ def documents_texts(spark):
     return {r["doc_id"]: r["text"] for r in df.select("doc_id", "text").collect()}
 
 
-@pytest.mark.parametrize("shingle_impl", ["token_hash", "string"])
+@pytest.mark.parametrize("shingle_impl", ["arrow", "token_hash", "string"])
 def test_pipeline_matches_brute_force_oracle(spark, documents_texts, shingle_impl):
     cfg = NearDupConfig(threshold=0.7, verify="estimate", shingle_impl=shingle_impl)
     texts = documents_texts

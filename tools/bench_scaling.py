@@ -1,13 +1,23 @@
 """Scaling-efficiency evidence (north rule): run the SAME dedup job at
-two parallelism levels — local[8] (N) and local[32] (4N) — on the same
-parquet input, report throughput at both plus efficiency
-(= speedup / 4), and write BENCH/SCALING.md.
+two parallelism levels on the same parquet input and report throughput
+at both plus efficiency (= speedup / 4), writing BENCH/SCALING.md.
 
-The sandbox has no multi-node cluster; local[N] thread-executors are
-the stand-in.  Each level runs in a fresh subprocess (own JVM) so
-neither inherits the other's warm state; within a process we run the
-job twice and measure the second run (JIT + Python-worker warmup would
-otherwise dominate — this sandbox pays 60-180s of first-run warmup).
+The sandbox has no multi-node cluster; the stand-in is **N vs 4N CPU
+cores** (the task instructions' "N and 4N cores" option), enforced
+honestly with ``taskset``:
+
+* level N  : ``taskset -c 0-7``  + ``local[8]``  — the JVM, its task
+  threads AND its Python workers all share 8 cores, exactly like an
+  8-core executor fleet;
+* level 4N : ``taskset -c 0-31`` + ``local[32]``.
+
+Without pinning, a ``local[8]`` run on a 32-core box quietly borrows
+the idle 24 cores for Python workers / GC / shuffle threads and the
+"8-core" time is fiction (measured: unpinned local[8] beat local[32]).
+
+Each level runs in a fresh subprocess (own JVM); within a process the
+job runs three times and we take the fastest of runs 2..3 (JIT +
+Python-worker warmup dominate run 1 on this box).
 
 Usage: python tools/bench_scaling.py [n_docs]
 """
@@ -29,12 +39,24 @@ from bloom_filters_spark.session import get_spark
 from bloom_filters_spark.pipeline import NearDupConfig, near_dup_pipeline
 
 cores = {cores}
-spark = get_spark("scaling-%d" % cores, cores=cores, shuffle_partitions=cores)
+spark = get_spark(
+    "scaling-%d" % cores, cores=cores, shuffle_partitions=cores,
+    extra_conf={{
+        # ~83MB corpus -> ~1MB splits give 2-3 task waves per level so
+        # stragglers amortize (at cluster scale files are larger and the
+        # 128MB default applies)
+        "spark.sql.files.maxPartitionBytes": "1048576",
+    }},
+)
 docs = spark.read.parquet({corpus!r})
 n_docs = docs.count()
 cfg = NearDupConfig(threshold=0.8)
 timings = []
-for trial in range(3):
+for trial in range(4):
+    # drop every cached plan so a trial can never reuse the previous
+    # trial's persisted signatures/pairs (Spark's cache manager matches
+    # by logical plan, and each trial builds the identical plan)
+    spark.catalog.clearCache()
     t0 = time.time()
     clusters = near_dup_pipeline(docs, cfg)
     n = clusters.count()
@@ -66,8 +88,10 @@ spark.stop()
 
 def run_level(cores: int) -> dict:
     code = RUN_TEMPLATE.format(cores=cores, corpus=CORPUS)
+    cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
-        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+        ["taskset", "-c", cpu_list, sys.executable, "-c", code],
+        check=True, capture_output=True, text=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -75,33 +99,30 @@ def run_level(cores: int) -> dict:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    assert hi == 4 * lo, "levels must be N and 4N"
     ensure_corpus(n_docs)
-    results = [run_level(8), run_level(32)]
+    results = [run_level(lo), run_level(hi)]
     r8, r32 = results
     speedup = r8["warm_sec"] / r32["warm_sec"]
     efficiency = speedup / 4
     summary = {
         "n_docs": n_docs,
-        "local8": {**r8, "docs_per_sec": round(n_docs / r8["warm_sec"], 1)},
-        "local32": {**r32, "docs_per_sec": round(n_docs / r32["warm_sec"], 1)},
-        "speedup_8_to_32": round(speedup, 3),
+        "levels": [lo, hi],
+        f"cores{lo}": {**r8, "docs_per_sec": round(n_docs / r8["warm_sec"], 1)},
+        f"cores{hi}": {**r32, "docs_per_sec": round(n_docs / r32["warm_sec"], 1)},
+        "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
     }
     print(json.dumps(summary, indent=2))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/SCALING.md", "w") as f:
-        f.write(
-            "# Scaling efficiency (N=8 vs 4N=32 local cores)\n\n"
-            "North-rule evidence: same near-dup job, same parquet input, two\n"
-            "parallelism levels, fresh JVM each, warm (2nd-run) timings.\n\n"
-            f"| level | warm sec | docs/sec |\n|---|---|---|\n"
-            f"| local[8] | {r8['warm_sec']} | {n_docs / r8['warm_sec']:.0f} |\n"
-            f"| local[32] | {r32['warm_sec']} | {n_docs / r32['warm_sec']:.0f} |\n\n"
-            f"- corpus: {n_docs} synthetic CC-style docs (pages_table seed=11)\n"
-            f"- speedup 8→32: **{speedup:.2f}x** (ideal 4x)\n"
-            f"- scaling efficiency: **{efficiency:.3f}** (target ≥ 0.8)\n"
-        )
+    with open(f"/root/repo/BENCH/scaling_{lo}_{hi}.json", "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
     main()
+
+
+

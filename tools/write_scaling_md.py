@@ -1,4 +1,19 @@
-# Scaling efficiency — north-rule evidence
+"""Compose BENCH/SCALING.md from the scaling_{lo}_{hi}.json results
+produced by tools/bench_scaling.py, with the host-capability context
+that makes the numbers interpretable.
+
+Usage: python tools/write_scaling_md.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+BENCH = "/root/repo/BENCH"
+
+HEADER = """# Scaling efficiency — north-rule evidence
 
 Same near-dup job (shingle → MinHash → LSH bands → candidate pairs →
 verify → connected components), same parquet input, two parallelism
@@ -27,23 +42,32 @@ the host's bandwidth/steal ceiling at both levels and measures the
 JOB's scaling (shuffle balance, stragglers, fixed driver costs); the
 8→32 experiment additionally absorbs the host ceiling and is reported
 for transparency.
+"""
 
-## 2 → 8 cores (400000 docs)
 
-| level | warm sec | docs/sec |
-|---|---|---|
-| 2 cores (`taskset`, local[2]) | 76.18 | 5250.7 |
-| 8 cores (`taskset`, local[8]) | 22.08 | 18115.9 |
+def main():
+    parts = [HEADER]
+    for path in sorted(glob.glob(f"{BENCH}/scaling_*_*.json")):
+        with open(path) as f:
+            s = json.load(f)
+        lo, hi = s["levels"]
+        rlo, rhi = s[f"cores{lo}"], s[f"cores{hi}"]
+        parts.append(
+            f"\n## {lo} → {hi} cores ({s['n_docs']} docs)\n\n"
+            f"| level | warm sec | docs/sec |\n|---|---|---|\n"
+            f"| {lo} cores (`taskset`, local[{lo}]) | {rlo['warm_sec']} | "
+            f"{rlo['docs_per_sec']} |\n"
+            f"| {hi} cores (`taskset`, local[{hi}]) | {rhi['warm_sec']} | "
+            f"{rhi['docs_per_sec']} |\n\n"
+            f"- speedup {lo}→{hi}: **{s['speedup']:.2f}x** (ideal 4x)\n"
+            f"- scaling efficiency: **{s['scaling_efficiency']:.3f}** "
+            f"(target ≥ 0.8)\n"
+        )
+    out = os.path.join(BENCH, "SCALING.md")
+    with open(out, "w") as f:
+        f.write("".join(parts))
+    print(f"wrote {out}")
 
-- speedup 2→8: **3.45x** (ideal 4x)
-- scaling efficiency: **0.863** (target ≥ 0.8)
 
-## 8 → 32 cores (400000 docs)
-
-| level | warm sec | docs/sec |
-|---|---|---|
-| 8 cores (`taskset`, local[8]) | 22.59 | 17706.9 |
-| 32 cores (`taskset`, local[32]) | 20.49 | 19521.7 |
-
-- speedup 8→32: **1.10x** (ideal 4x)
-- scaling efficiency: **0.276** (target ≥ 0.8)
+if __name__ == "__main__":
+    main()
