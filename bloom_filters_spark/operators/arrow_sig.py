@@ -317,6 +317,76 @@ def signatures_arrow(
     return df.select(id_col, text_col).mapInArrow(compute, spark_schema)
 
 
+def _band_hashes_from_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, k) int32 signatures → (n, bands) uint64 band hashes.
+
+    Horner over each band's ``rows`` values, seeded with band_id+1 so
+    identical slices in different bands don't collide.
+    """
+    n = sig.shape[0]
+    P = _U(ROLL_PRIME)
+    m = sig.astype(np.uint64).reshape(n, bands, rows)
+    acc = np.broadcast_to(
+        np.arange(1, bands + 1, dtype=np.uint64)[None, :], (n, bands)
+    ).copy()
+    for j in range(rows):
+        acc = acc * P + m[:, :, j]
+    return acc
+
+
+def fused_band_rows(
+    df: DataFrame,
+    factory: MinHashFactory,
+    bands: int,
+    rows: int,
+    shingle_size: int = 3,
+    max_value: int = DEFAULT_MAX_VALUE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """text → exploded (doc_id, band_id, band_hash) in ONE Arrow stage,
+    never materializing a signature column.
+
+    This is the scale path for candidate generation: the full-corpus
+    signature matrix exists only as a transient numpy array inside the
+    kernel, so nothing wide is persisted, cached, or shuffled — the band
+    table is 16-byte rows.  The verify stage recomputes signatures just
+    for the (rare) docs that appear in a candidate pair; determinism of
+    the kernel guarantees they match the ones banded here.
+    """
+    a_arr = factory.a.copy()
+    b_arr = factory.b.copy()
+    c = int(factory.c)
+    k = factory.nb_hashes
+    w = shingle_size
+    mv = max_value
+    b_, r_ = bands, rows
+
+    def compute(batches):
+        buf = np.empty((4096, k), dtype=np.uint64)
+        band_ids = np.arange(b_, dtype=np.int32)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            kept, sig, _ = _batch_signatures(
+                ids, batch.column(1), a_arr, b_arr, c, w, mv, buf, False)
+            n = len(kept)
+            if n == 0:
+                continue
+            acc = _band_hashes_from_sig(sig, b_, r_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(kept, b_), type=pa.int64()),
+                    pa.array(np.tile(band_ids, n), type=pa.int32()),
+                    pa.array(acc.reshape(-1).view(np.int64), type=pa.int64()),
+                ],
+                names=[id_col, "band_id", "band_hash"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        compute, f"{id_col} long, band_id int, band_hash long"
+    )
+
+
 def bands_arrow(sigs: DataFrame, bands: int, rows: int,
                 id_col: str = "doc_id") -> DataFrame:
     """(id, signature) → exploded (id, band_id, band_hash), all
@@ -328,7 +398,6 @@ def bands_arrow(sigs: DataFrame, bands: int, rows: int,
     collide.
     """
     b_, r_ = bands, rows
-    P = _U(ROLL_PRIME)
 
     def compute(batches):
         for batch in batches:
@@ -338,12 +407,7 @@ def bands_arrow(sigs: DataFrame, bands: int, rows: int,
             n = len(ids)
             if n == 0:
                 continue
-            m = flat.astype(np.uint64).reshape(n, b_, r_)
-            acc = np.broadcast_to(
-                np.arange(1, b_ + 1, dtype=np.uint64)[None, :], (n, b_)
-            ).copy()
-            for j in range(r_):
-                acc = acc * P + m[:, :, j]
+            acc = _band_hashes_from_sig(flat.reshape(n, b_ * r_), b_, r_)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(ids, b_), type=pa.int64()),

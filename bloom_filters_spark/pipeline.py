@@ -73,6 +73,12 @@ class NearDupConfig:
     # codegen'd, no Python crossing), or "jvm_hof" (transform/sequence
     # higher-order functions — interpreted, worst of both)
     band_impl: str = "arrow"
+    # fuse banding into the signature kernel (arrow impl only): the full
+    # pipeline never materializes a per-doc signature column — bands
+    # stream out of the text kernel as 16-byte rows, and signatures are
+    # recomputed only for candidate-pair participants in the verify
+    # stage.  Biggest single win on bandwidth-bound hosts.
+    fuse_bands: bool = True
     cache_signatures: bool = True    # sigs feed banding AND both verify joins
 
     def __post_init__(self):
@@ -242,16 +248,40 @@ def near_dup_pipeline(
     for testing/metrics.
     """
     cfg = cfg or NearDupConfig()
-    sigs = signatures(df, cfg, id_col, text_col)
-    if cfg.cache_signatures:
-        # sigs are consumed by banding and twice by the verify join; at
-        # cluster scale this boundary is a checkpoint table instead
-        sigs = sigs.persist()
-    bands = lsh_bands(sigs, cfg, id_col)
-    # candidates feed THREE consumers inside the verify stage (the two
-    # id projections and the pair join) — without a persist the whole
-    # band shuffle + pair-emit recomputes three times
-    candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+    sigs = None
+    if cfg.shingle_impl == "arrow" and cfg.fuse_bands:
+        # scale path: text → (doc_id, band_hash) in one Arrow stage.
+        # The full-corpus signature matrix never leaves the kernel —
+        # persisting/caching wide array<int> columns was measured to
+        # dominate the whole pipeline on bandwidth-bound hosts (the
+        # columnar cache serializes arrays per row).  Signatures are
+        # recomputed ONLY for docs that appear in a candidate pair
+        # (dups are rare, so this is ~1% of the corpus).
+        from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+
+        bands = fused_band_rows(
+            df, cfg.factory(), cfg.bands, cfg.rows_per_band,
+            cfg.shingle_size, cfg.max_value, id_col, text_col,
+        )
+        candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+        ids = (
+            candidates.select(F.col("id1").alias(id_col))
+            .unionByName(candidates.select(F.col("id2").alias(id_col)))
+            .distinct()
+        )
+        participants = df.join(ids, id_col, "left_semi")
+        sigs = signatures(participants, cfg, id_col, text_col).persist()
+    else:
+        sigs = signatures(df, cfg, id_col, text_col)
+        if cfg.cache_signatures:
+            # sigs are consumed by banding and twice by the verify join;
+            # at cluster scale this boundary is a checkpoint table
+            sigs = sigs.persist()
+        bands = lsh_bands(sigs, cfg, id_col)
+        # candidates feed THREE consumers inside the verify stage (the
+        # two id projections and the pair join) — without a persist the
+        # whole band shuffle + pair-emit recomputes three times
+        candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
     pairs = verified_pairs(candidates, sigs, cfg, id_col).persist()
     # materialize the (tiny) verified edge set once; everything upstream
     # (signatures, band shuffle) is then releasable before the iterative /
@@ -269,8 +299,7 @@ def near_dup_pipeline(
             "pairs": pairs,
         }
     candidates.unpersist()
-    if cfg.cache_signatures:
-        sigs.unpersist()
+    sigs.unpersist()
     # the components stage has already materialized its labels (driver
     # union-find collects the edges; labelprop localCheckpoints), so the
     # cached edge set can be released too
