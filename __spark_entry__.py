@@ -310,6 +310,56 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(items, queries, k=10).select("query_id", "vec_id", "rank")
 
 
+def q_embedding_mutual_nn(spark, sf_dir):
+    """Embedding-cosine near-dup: mutual exact nearest-neighbor pairs
+    (rank-based so cross-engine float rounding can't flip a threshold)."""
+    from bloom_filters_spark.operators.similarity import mutual_nn_pairs
+
+    return mutual_nn_pairs(_read(spark, sf_dir, "embeddings"))
+
+
+def q_xor_membership(spark, sf_dir):
+    """XOR-filter prune (static deny/seen-list pattern) + exact confirm:
+    same shape as the Bloom prune query but with the immutable
+    peeling-built filter (xor-filter.ts:157-235); per-flag counts."""
+    from bloom_filters_spark.operators.sketch_agg import build_xor, xor_filter_column
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    li = _read(spark, sf_dir, "lineitem")
+    xf = build_xor(part, "p_partkey", bits_per_fingerprint=16)
+    pruned = xor_filter_column(li, "l_partkey", xf)
+    confirmed = pruned.join(
+        part.select("p_partkey"), pruned.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        confirmed.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_set_reconcile_customers(spark, sf_dir):
+    """Set reconciliation (the IBLT ``substract``/``decode`` dual,
+    iblt/invertible-bloom-lookup-tables.ts:152-283): customers who
+    ordered before 1995 but not after, and vice versa.  The engine
+    expresses it as two anti-joins; byte-parity IBLT decode is covered
+    in pytest (sketch tests) — at scale the sketch version reconciles
+    checkpoint partitions without shipping full key sets."""
+    orders = _read(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1995-01-01")).select(
+        "o_custkey"
+    ).distinct()
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01")).select(
+        "o_custkey"
+    ).distinct()
+    gone = early.join(late, "o_custkey", "left_anti").select(
+        "o_custkey", F.lit("missing").alias("side")
+    )
+    new = late.join(early, "o_custkey", "left_anti").select(
+        "o_custkey", F.lit("additional").alias("side")
+    )
+    return gone.unionByName(new)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -336,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_mutual_nn": q_embedding_mutual_nn,
+        "xor_membership": q_xor_membership,
+        "set_reconcile_customers": q_set_reconcile_customers,
     }
 
 
@@ -535,5 +588,45 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored
           ) WHERE rank <= 10
+        """,
+        "embedding_mutual_nn": """
+          WITH scored AS (
+            SELECT a.vec_id AS qa, b.vec_id AS vb,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          ), nn AS (
+            SELECT qa, vb FROM (
+              SELECT qa, vb,
+                     row_number() OVER (PARTITION BY qa
+                                        ORDER BY c DESC, vb ASC) AS r
+              FROM scored
+            ) WHERE r = 1
+          )
+          SELECT x.qa AS id1, x.vb AS id2
+          FROM nn x JOIN nn y ON x.qa = y.vb AND x.vb = y.qa
+          WHERE x.qa < x.vb
+        """,
+        "xor_membership": """
+          SELECT l_returnflag AS returnflag, count(*) AS n_rows
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+          GROUP BY l_returnflag
+        """,
+        "set_reconcile_customers": """
+          SELECT o_custkey, 'missing' AS side FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          )
+          UNION ALL
+          SELECT o_custkey, 'additional' AS side FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+          )
         """,
     }

@@ -33,6 +33,9 @@ HEADLINE = [
     "top_suppliers_per_nation",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
+    "embedding_mutual_nn",
+    "xor_membership",
+    "set_reconcile_customers",
 ]
 
 

@@ -71,6 +71,75 @@ def cosine_topk(
     )
 
 
+def mutual_nn_pairs(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: (a, b) that are each
+    other's exact nearest neighbor by cosine (a < b).
+
+    Rank-based rather than threshold-based, so the result is robust to
+    float rounding across engines (cosines rounded 6dp before ranking,
+    ties broken by smallest id — same convention as ``cosine_topk``).
+
+    Execution: the normalized item matrix is broadcast (closure) and
+    each Arrow batch computes its similarity block as ONE numpy matmul —
+    the expression-level alternative (zip_with/aggregate per pair) is
+    interpreted and was measured 60x slower at 2000 vectors.  This is
+    the exactness baseline and assumes the item side fits a broadcast
+    (n·dim doubles); the scale path buckets with ``lsh_cosine_topk``.
+    """
+    import pyarrow as pa
+
+    rows = items.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([rows[i][1] for i in order], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+
+    def nn_block(batches):
+        for batch in batches:
+            bids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = batch.column(1).values.to_numpy(zero_copy_only=False)
+            n = len(bids)
+            if n == 0:
+                continue
+            block = flat.astype(np.float64).reshape(n, -1)
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0] = 1.0
+            sims = np.round((block / bn[:, None]) @ matn.T, 6)
+            # mask self-matches, then argmax = highest cosine, and ties
+            # resolve to the smallest id because ids are sorted ascending
+            self_pos = np.searchsorted(ids, bids)
+            row_has_self = (self_pos < len(ids)) & (
+                ids[np.minimum(self_pos, len(ids) - 1)] == bids
+            )
+            sims[np.flatnonzero(row_has_self),
+                 self_pos[row_has_self]] = -np.inf
+            best = sims.argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(bids), pa.array(ids[best])],
+                names=["src", "dst"],
+            )
+
+    nn = items.select(id_col, vec_col).mapInArrow(
+        nn_block, "src long, dst long"
+    )
+    rev = nn.select(F.col("src").alias("dst2"), F.col("dst").alias("src2"))
+    return (
+        nn.join(
+            rev,
+            (nn.src == F.col("src2")) & (nn.dst == F.col("dst2")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
+    )
+
+
 def hyperplane_bucket_expr(vec, planes: np.ndarray):
     """Random-hyperplane LSH bucket id: sign bits of <vec, plane_j>
     packed into a long — all built-ins (no Python)."""

@@ -85,6 +85,40 @@ def bloom_filter_column(df: DataFrame, col: str, bloom: BloomFilter,
     return df.mapInPandas(prune, df.schema)
 
 
+def build_xor(df: DataFrame, col: str, bits_per_fingerprint: int = 8,
+              seed: int = DEFAULT_SEED):
+    """XOR-filter build over the DISTINCT values of a column.
+
+    The peeling construction is inherently sequential
+    (/root/reference/src/bloom/xor-filter.ts:157-235), so the build runs
+    on the driver over the collected distinct key set — XOR filters are
+    for *static, modest-cardinality* deny/seen lists (their win is probe
+    speed + size, not build parallelism).  The distinct() dedup itself
+    is distributed.
+    """
+    from bloom_filters_spark.sketches.xor_filter import XorFilter
+
+    values = [str(r[0]) for r in df.select(col).distinct().collect()]
+    return XorFilter.from_items(values, bits_per_fingerprint, seed=seed)
+
+
+def xor_filter_column(df: DataFrame, col: str, xf, keep: bool = True) -> DataFrame:
+    """Membership pre-filter against a broadcast XOR filter (no false
+    negatives for the built set; ~2^-bits FP rate — follow with an exact
+    join when exactness matters)."""
+    from bloom_filters_spark.sketches.xor_filter import XorFilter
+
+    blob = xf.save_as_json()
+
+    def prune(batches):
+        sk = XorFilter.from_json(blob)
+        for pdf in batches:
+            mask = sk.has_batch([str(v) for v in pdf[col].tolist()])
+            yield pdf[mask] if keep else pdf[~mask]
+
+    return df.mapInPandas(prune, df.schema)
+
+
 def hll_distinct(df: DataFrame, col: str, m: int = 4096,
                  seed: int = DEFAULT_SEED) -> float:
     """Distributed HLL cardinality estimate (register-max merge)."""
