@@ -123,8 +123,102 @@ def simhash_udf(w: int = 2, num_bits: int = 64):
     return simhash
 
 
-def simhash_table(df: DataFrame, id_col: str = "doc_id",
+def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", w: int = 2) -> DataFrame:
+    """Arrow-native SimHash: reuses the flat tokenizer / token-hash /
+    rolling-gram kernels from the signature stage, then accumulates the
+    64 bit-votes for ALL docs in a batch with one ``np.add.at`` — no
+    per-doc Python, no string w-grams, no per-gram hash calls.
+
+    Semantics: per doc, the DISTINCT w-gram hashes vote ±1 on each of
+    64 bits; sign of the vote total forms the signature bit (standard
+    Charikar SimHash).  Gram identity comes from the rolling Horner
+    combine over token hashes (same domain as the near-dup shingles),
+    so values differ from ``simhash_udf``'s string-gram variant but the
+    Hamming-distance semantics are identical.
+    """
+    import pyarrow as pa
+
+    from bloom_filters_spark.operators.arrow_sig import (
+        _flat_tokenize,
+        _token_hashes,
+        _ascii_lower,
+        _string_array_parts,
+    )
+    from bloom_filters_spark.operators.shingles import ROLL_PRIME
+
+    P = np.uint64(ROLL_PRIME)
+    shifts = np.arange(64, dtype=np.uint64)
+    pows2 = (np.uint64(1) << shifts)
+
+    def compute(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            offsets, data, nulls = _string_array_parts(batch.column(1))
+            base = offsets[0]
+            d = _ascii_lower(data[base: offsets[-1]].copy())
+            doc_offsets = offsets - base
+            ts, tl, td = _flat_tokenize(d, doc_offsets)
+            if nulls is not None and len(td):
+                keep_tok = ~nulls[td]
+                ts, tl, td = ts[keep_tok], tl[keep_tok], td[keep_tok]
+            n_docs = len(ids)
+            th = _token_hashes(d, ts, tl)
+            # rolling w-gram combine (docs shorter than w yield one gram)
+            n_tok = np.bincount(td, minlength=n_docs).astype(np.int64)
+            first = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+            pos = np.arange(len(td), dtype=np.int64) - first[td]
+            eff_w = np.minimum(n_tok, w)
+            gmask = pos <= (n_tok - eff_w)[td]
+            gstart = np.flatnonzero(gmask)
+            gdoc = td[gstart]
+            gw = eff_w[gdoc]
+            acc = np.zeros(len(gstart), dtype=np.uint64)
+            for j in range(int(gw.max()) if len(gw) else 0):
+                alive = gw > j
+                acc[alive] = acc[alive] * P + th[gstart[alive] + j]
+            # finalize: Horner/multiplicative hashes have weakly-mixed
+            # low bits; SimHash consumes every bit as an independent
+            # vote, so run a splitmix64-style avalanche first (without
+            # it, correlated low bits produced ~10x spurious pairs)
+            acc ^= acc >> np.uint64(30)
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(27)
+            acc *= np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
+            # per-doc DISTINCT grams: sort by (doc, hash), drop run-dups
+            if len(acc):
+                order = np.lexsort((acc, gdoc))
+                gd, ga = gdoc[order], acc[order]
+                keep = np.ones(len(ga), dtype=bool)
+                keep[1:] = (gd[1:] != gd[:-1]) | (ga[1:] != ga[:-1])
+                gd, ga = gd[keep], ga[keep]
+            else:
+                gd, ga = gdoc, acc
+            votes = np.zeros((n_docs, 64), dtype=np.int32)
+            if len(ga):
+                bits = ((ga[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                np.add.at(votes, gd, 2 * bits - 1)
+            sig = ((votes > 0).astype(np.uint64) * pows2[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(sig.view(np.int64))],
+                names=[id_col, "simhash"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        compute, f"{id_col} long, simhash long"
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = 2,
+                  impl: str = "arrow") -> DataFrame:
+    if impl == "arrow":
+        return simhash_arrow(df, id_col, text_col, w)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
     return df.select(F.col(id_col), simhash_udf(w)(toks).alias("simhash"))
 
