@@ -1,0 +1,102 @@
+"""Physical-plan audit: .explain("formatted") for the headline queries,
+with automated checks for the properties that matter at 100TB scale:
+
+* parquet scans carry PushedFilters / pruned ReadSchema (predicate +
+  column pruning reached the source),
+* small dimension sides broadcast (BroadcastHashJoin, not SortMerge),
+* no Python round-trip appears where a built-in could run (ArrowEval /
+  mapInArrow only in the kernels that need it).
+
+Writes BENCH/PLANS.md.  Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    # query -> (must_contain regexes, must_not_contain regexes)
+    "q1_pricing_summary": (
+        [r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate",
+         r"ReadSchema: [^\n]*l_returnflag"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "q3_top_orders": (
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*EqualTo\(c_mktsegment"],
+        [r"ArrowEvalPython"],
+    ),
+    "bloom_prune_semijoin": (
+        [r"PushedFilters: \[.*LessThanOrEqual\(p_size"],
+        [],
+    ),
+    "top_suppliers_per_nation": (
+        [r"RunningWindowFunction|Window"],
+        [r"ArrowEvalPython"],
+    ),
+    "dedup_exact": ([r"Window"], [r"ArrowEvalPython"]),
+    "token_counts": ([r"ReadSchema: [^\n]*text"], []),
+    "near_dup_clusters": ([], []),      # plan printed for inspection
+    "embedding_cosine_topk": ([r"Broadcast"], []),
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from bloom_filters_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8)
+    qs = entry.queries()
+    sections = []
+    failures = []
+    for name, (must, must_not) in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        text = plan_text(df)
+        verdicts = []
+        for pat in must:
+            ok = re.search(pat, text) is not None
+            verdicts.append(("MUST", pat, ok))
+            if not ok:
+                failures.append((name, "missing", pat))
+        for pat in must_not:
+            ok = re.search(pat, text) is None
+            verdicts.append(("MUST NOT", pat, ok))
+            if not ok:
+                failures.append((name, "present", pat))
+        verdict_md = "\n".join(
+            f"- {'✅' if ok else '❌'} {kind} `{pat}`" for kind, pat, ok in verdicts
+        ) or "- (plan recorded for inspection)"
+        sections.append(
+            f"## {name}\n\n{verdict_md}\n\n```\n{text.strip()[:4000]}\n```\n"
+        )
+    spark.stop()
+
+    with open("/root/repo/BENCH/PLANS.md", "w") as f:
+        f.write(
+            "# Physical-plan audit\n\n"
+            "`.explain(\"formatted\")` for headline queries with automated\n"
+            "checks: filters pushed to the parquet scan, columns pruned,\n"
+            "small sides broadcast, no Python eval where built-ins run.\n"
+            "Regenerate: `python tools/explain_audit.py`.\n\n"
+            + "\n".join(sections)
+        )
+    print(f"wrote BENCH/PLANS.md; {len(failures)} check failures")
+    for name, kind, pat in failures:
+        print(f"  FAIL {name}: {kind} {pat}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
