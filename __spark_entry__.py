@@ -89,6 +89,18 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     )
 
 
+def q_pages_near_dup_urls(spark, sf_dir):
+    """input_hint surface: url-keyed near-dup clustering over the
+    synthetic CC-style pages table (deterministic function of seed, so
+    the rows-only check is stable; text extracted from the html column,
+    byte-identical per url)."""
+    from bloom_filters_spark.pipeline import NearDupConfig, pages_near_dup
+    from bloom_filters_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, 2000, seed=7).drop("text")
+    return pages_near_dup(pages, NearDupConfig(threshold=0.8), text_col=None)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized text (md5 fingerprint groups)."""
     docs = _docs(spark, sf_dir)
@@ -367,6 +379,7 @@ def q_set_reconcile_customers(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "near_dup_clusters": q_near_dup_clusters,
+        "pages_near_dup_urls": q_pages_near_dup_urls,
         "near_dup_pairs_exact": q_near_dup_pairs_exact,
         "dedup_exact": q_dedup_exact,
         "simhash_dup_pairs": q_simhash_dup_pairs,

@@ -235,6 +235,53 @@ def verified_pairs(
     return joined.filter(decision >= F.lit(cfg.threshold)).select(*out_cols)
 
 
+def pages_near_dup(
+    pages: DataFrame,
+    cfg: NearDupConfig | None = None,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    lang: str | None = None,
+) -> DataFrame:
+    """input_hint entry point: ``pages(url, warc_ts, html, text, lang)``
+    → ``(url, cluster_url)`` with ``cluster_url`` shared by every page in
+    a near-duplicate component.
+
+    * keys are urls (strings); internally each url maps to
+      ``xxhash64(url)`` so the Arrow kernels and shuffles move 8-byte
+      ids, not urls (collision odds n²/2^65 — at 10^12 docs ~0.03, and a
+      collision only ever MERGES two clusters);
+    * ``text_col=None`` extracts text from ``html`` via
+      ``sources.pages.extract_text_expr`` (byte-identical per url);
+    * ``lang="en"`` prunes by language BEFORE any kernel — a native
+      filter Catalyst pushes into the scan.
+    """
+    cfg = cfg or NearDupConfig()
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+    if text_col is None:
+        from bloom_filters_spark.sources.pages import extract_text_expr
+
+        pages = pages.withColumn("_text", extract_text_expr(F.col("html")))
+        text_col = "_text"
+    keyed = pages.select(
+        F.xxhash64(F.col(url_col)).alias("_nid"),
+        F.col(url_col),
+        F.col(text_col).alias("_t"),
+    )
+    clusters = near_dup_pipeline(
+        keyed.select("_nid", "_t"), cfg, id_col="_nid", text_col="_t"
+    )
+    urls = keyed.select("_nid", url_col)
+    canon = urls.select(
+        F.col("_nid").alias("cluster_id"), F.col(url_col).alias("cluster_url")
+    )
+    return (
+        clusters.join(urls, "_nid")
+        .join(canon, "cluster_id")
+        .select(url_col, "cluster_url")
+    )
+
+
 def near_dup_pipeline(
     df: DataFrame,
     cfg: NearDupConfig | None = None,

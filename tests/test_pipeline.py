@@ -186,6 +186,38 @@ def test_pipeline_exact_verify_mode(spark, documents_texts):
         assert true_j >= cfg.threshold
 
 
+def test_pages_near_dup_url_keyed(spark):
+    """input_hint surface: url-keyed pages → (url, cluster_url); planted
+    exact copies (odd id = copy of odd-1 at mutation 0.0) must share a
+    cluster_url, and text can come from the html column."""
+    from bloom_filters_spark.pipeline import pages_near_dup
+    from bloom_filters_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, 400, seed=7)
+    out = {r["url"]: r["cluster_url"] for r in
+           pages_near_dup(pages, NearDupConfig(threshold=0.9)).collect()}
+    assert len(out) == 400
+    # recompute which odd ids are true exact/near copies from the source
+    texts = {r["doc_id"]: (r["url"], r["text"])
+             for r in pages.select("doc_id", "url", "text").collect()}
+    linked = 0
+    for k in range(0, 400, 2):
+        if k + 1 not in texts:
+            continue
+        (u_a, t_a), (u_b, t_b) = texts[k], texts[k + 1]
+        if t_a == t_b:  # exact planted copy
+            assert out[u_a] == out[u_b], (u_a, u_b)
+            linked += 1
+    assert linked > 0  # the corpus really planted exact copies
+
+    # html-extraction path produces the same clustering
+    out_html = {r["url"]: r["cluster_url"] for r in
+                pages_near_dup(pages.drop("text"),
+                               NearDupConfig(threshold=0.9),
+                               text_col=None).collect()}
+    assert out_html == out
+
+
 def test_hot_band_star_fallback(spark):
     """An oversized band group (boilerplate) must still link its docs via
     star pairs, without emitting O(n^2) pairs."""
