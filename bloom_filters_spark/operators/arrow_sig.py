@@ -224,8 +224,14 @@ def _string_array_parts(col: pa.Array):
 
 def _batch_signatures(ids: np.ndarray, text_col: pa.Array,
                       a, b, c, w, max_value, buf,
-                      need_shingles: bool):
-    """One Arrow batch → (ids_kept, sig (n,k) int32, shingle sets|None)."""
+                      need_shingles: bool, hot_shingles: np.ndarray | None = None):
+    """One Arrow batch → (ids_kept, sig (n,k) int32, shingle sets|None).
+
+    ``hot_shingles`` (sorted int64 array) drops boilerplate shingles
+    before the MinHash fold — the CMS frequent-shingle pruning stage.
+    Docs left with zero shingles after pruning are dropped like empty
+    docs (the reference's empty-MinHash guard).
+    """
     offsets, data, nulls = _string_array_parts(text_col)
     base = offsets[0]
     d = _ascii_lower(data[base: offsets[-1]].copy())
@@ -238,8 +244,13 @@ def _batch_signatures(ids: np.ndarray, text_col: pa.Array,
     n_docs = len(ids)
     th = _token_hashes(d, tok_starts, tok_lens)
     sh, sh_doc, n_tok = _shingle_hashes(th, tok_doc, n_docs, w, max_value)
+    if hot_shingles is not None and len(sh):
+        cold = ~np.isin(sh.astype(np.int64), hot_shingles)
+        sh, sh_doc = sh[cold], sh_doc[cold]
     sig = _signatures_from_shingles(sh, sh_doc, n_docs, a, b, c, buf)
     keep = n_tok > 0
+    if hot_shingles is not None:
+        keep &= np.bincount(sh_doc, minlength=n_docs) > 0
     shingle_sets = None
     if need_shingles:
         counts = np.bincount(sh_doc, minlength=n_docs)
@@ -277,6 +288,7 @@ def signatures_arrow(
     id_col: str = "doc_id",
     text_col: str = "text",
     need_shingles: bool = False,
+    hot_shingles: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, text) → (id, signature array<int>[, shingles array<long>]).
 
@@ -292,6 +304,8 @@ def signatures_arrow(
     w = shingle_size
     mv = max_value
     want_sh = need_shingles
+    hot = np.sort(hot_shingles.astype(np.int64)) if hot_shingles is not None \
+        and len(hot_shingles) else None
 
     fields = [pa.field(id_col, pa.int64())]
     if want_sh:
@@ -304,7 +318,8 @@ def signatures_arrow(
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             kept, sig, sh_sets = _batch_signatures(
-                ids, batch.column(1), a_arr, b_arr, c, w, mv, buf, want_sh)
+                ids, batch.column(1), a_arr, b_arr, c, w, mv, buf, want_sh,
+                hot)
             cols = [pa.array(kept, type=pa.int64())]
             if want_sh:
                 cols.append(_ragged_list_array(sh_sets))
@@ -343,6 +358,7 @@ def fused_band_rows(
     max_value: int = DEFAULT_MAX_VALUE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_shingles: np.ndarray | None = None,
 ) -> DataFrame:
     """text → exploded (doc_id, band_id, band_hash) in ONE Arrow stage,
     never materializing a signature column.
@@ -361,6 +377,8 @@ def fused_band_rows(
     w = shingle_size
     mv = max_value
     b_, r_ = bands, rows
+    hot = np.sort(hot_shingles.astype(np.int64)) if hot_shingles is not None \
+        and len(hot_shingles) else None
 
     def compute(batches):
         buf = np.empty((4096, k), dtype=np.uint64)
@@ -368,7 +386,7 @@ def fused_band_rows(
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             kept, sig, _ = _batch_signatures(
-                ids, batch.column(1), a_arr, b_arr, c, w, mv, buf, False)
+                ids, batch.column(1), a_arr, b_arr, c, w, mv, buf, False, hot)
             n = len(kept)
             if n == 0:
                 continue
@@ -479,3 +497,84 @@ def arrow_shingle_set_py(text: str, w: int = 3,
     return np.unique(
         np.array(arrow_shingle_multiset_py(text, w, max_value), dtype=np.int64)
     )
+
+
+def detect_hot_shingles(
+    df: DataFrame,
+    n_docs: int,
+    max_doc_freq: float,
+    shingle_size: int = 3,
+    max_value: int = DEFAULT_MAX_VALUE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_hint: int = 64,
+) -> np.ndarray:
+    """Boilerplate detector: shingle hashes whose document frequency
+    exceeds ``max_doc_freq * n_docs`` (the CMS frequent-shingle pruning
+    stage of the north rule; with the reference's ``create(ε, δ=0.999)``
+    quirk a CMS degenerates to depth-1 counters —
+    /root/reference/src/sketch/count-min-sketch.ts:56-61 — which is
+    exactly a bucketed counter like this one, here collision-free
+    because the shingle itself is the key).
+
+    Scale shape: each partition counts its per-doc-DISTINCT shingles and
+    emits only locally-hot ones (local count > cap/partition_hint —
+    any globally-hot shingle must be locally hot somewhere by
+    pigeonhole), so the shuffle carries a few hundred candidate rows,
+    not the shingle universe.  A global sum then applies the exact cap.
+
+    Returns a sorted int64 array of hot shingle hashes.
+    """
+    cap = max(1, int(max_doc_freq * n_docs))
+    local_cap = max(1, cap // max(partition_hint, 1))
+    w = shingle_size
+    mv = max_value
+
+    def count_batch(batches):
+        # one local counter per PARTITION (mapInArrow sees all batches);
+        # everything stays in numpy arrays — no per-shingle Python
+        vals_parts, cnts_parts = [], []
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            offsets, data, nulls = _string_array_parts(batch.column(1))
+            base = offsets[0]
+            d = _ascii_lower(data[base: offsets[-1]].copy())
+            tok_starts, tok_lens, tok_doc = _flat_tokenize(d, offsets - base)
+            if nulls is not None and len(tok_doc):
+                keep = ~nulls[tok_doc]
+                tok_starts, tok_lens, tok_doc = (
+                    tok_starts[keep], tok_lens[keep], tok_doc[keep])
+            th = _token_hashes(d, tok_starts, tok_lens)
+            sh, sh_doc, _ = _shingle_hashes(th, tok_doc, len(ids), w, mv)
+            if not len(sh):
+                continue
+            # doc-frequency semantics: count each (doc, shingle) once
+            key = sh_doc.astype(np.uint64) * _U(2**32) + sh  # sh < 2^31
+            uniq = np.unique(key)
+            vals, cnts = np.unique(uniq & _U(0xFFFFFFFF), return_counts=True)
+            vals_parts.append(vals.astype(np.int64))
+            cnts_parts.append(cnts.astype(np.int64))
+        if vals_parts:
+            allv = np.concatenate(vals_parts)
+            allc = np.concatenate(cnts_parts)
+            u, inv = np.unique(allv, return_inverse=True)
+            tot = np.bincount(inv, weights=allc.astype(np.float64)).astype(
+                np.int64
+            )
+            mask = tot > local_cap
+            if mask.any():
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(u[mask]), pa.array(tot[mask])],
+                    names=["shingle", "n"],
+                )
+
+    candidates = df.select(id_col, text_col).mapInArrow(
+        count_batch, "shingle long, n long"
+    )
+    rows = (
+        candidates.groupBy("shingle")
+        .agg(F.sum("n").alias("df_count"))
+        .filter(F.col("df_count") > cap)
+        .collect()
+    )
+    return np.sort(np.array([r["shingle"] for r in rows], dtype=np.int64))

@@ -79,6 +79,29 @@ class NearDupConfig:
     # recomputed only for candidate-pair participants in the verify
     # stage.  Biggest single win on bandwidth-bound hosts.
     fuse_bands: bool = True
+    # CMS frequent-shingle (boilerplate) pruning: shingles appearing in
+    # more than this fraction of documents are dropped before MinHash —
+    # navigation chrome / legal footers otherwise dominate signatures
+    # and create hot LSH bands.  None disables.  Scale (arrow fused)
+    # path only; the detection pass emits a few hundred candidate rows,
+    # not the shingle universe (see detect_hot_shingles).
+    boilerplate_max_df: float | None = None
+    # HLL-gated exact pre-dedup: estimate distinct text fingerprints
+    # with native HLL++ (approx_count_distinct — one map-side-combined
+    # scan); when the estimated exact-duplicate rate exceeds
+    # prededup_min_rate, collapse byte-identical (normalized) texts to
+    # one representative before MinHash/LSH and re-expand afterwards.
+    # Web corpora are commonly 30-50% exact dups — collapsing first
+    # saves that fraction of signature compute and shrinks hot bands.
+    # Cluster-assignment-preserving: identical texts always estimate
+    # Jaccard 1 and link anyway; empty-normalized texts are exempted so
+    # they stay singletons exactly like the base path.  (The internal
+    # PAIRS stage then reports representative pairs only, so parity
+    # tests that compare raw pairs keep this "off"; cluster output is
+    # identical either way.)  "auto" | "on" | "off"; default off,
+    # pages_near_dup opts into "auto".
+    exact_prededup: str = "off"
+    prededup_min_rate: float = 0.05
     cache_signatures: bool = True    # sigs feed banding AND both verify joins
 
     def __post_init__(self):
@@ -255,7 +278,8 @@ def pages_near_dup(
     * ``lang="en"`` prunes by language BEFORE any kernel — a native
       filter Catalyst pushes into the scan.
     """
-    cfg = cfg or NearDupConfig()
+    if cfg is None:
+        cfg = NearDupConfig(exact_prededup="auto")
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
     if text_col is None:
@@ -295,6 +319,36 @@ def near_dup_pipeline(
     for testing/metrics.
     """
     cfg = cfg or NearDupConfig()
+    all_vertices = df.select(id_col)
+    doc_rep = None
+    if cfg.exact_prededup != "off":
+        norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+        fps = df.select(
+            id_col,
+            F.when(F.length(norm) > 0, F.xxhash64(norm)).alias("_fp"),
+        )
+        run_prededup = cfg.exact_prededup == "on"
+        if cfg.exact_prededup == "auto":
+            # the HLL cardinality gate: one scan, partial-aggregated
+            row = fps.filter(F.col("_fp").isNotNull()).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("_fp").alias("d"),
+            ).first()
+            n_rows = row["n"] or 0
+            run_prededup = n_rows > 0 and (
+                row["d"] < (1.0 - cfg.prededup_min_rate) * n_rows
+            )
+        if run_prededup:
+            rep = fps.filter(F.col("_fp").isNotNull()).groupBy("_fp").agg(
+                F.min(id_col).alias("_rep")
+            )
+            doc_rep = fps.join(rep, "_fp", "left").select(
+                id_col, F.coalesce("_rep", F.col(id_col)).alias("_rep")
+            ).persist()
+            rep_ids = doc_rep.filter(F.col(id_col) == F.col("_rep")).select(
+                id_col
+            )
+            df = df.join(rep_ids, id_col, "left_semi")
     sigs = None
     if cfg.shingle_impl == "arrow" and cfg.fuse_bands:
         # scale path: text → (doc_id, band_hash) in one Arrow stage.
@@ -304,11 +358,22 @@ def near_dup_pipeline(
         # columnar cache serializes arrays per row).  Signatures are
         # recomputed ONLY for docs that appear in a candidate pair
         # (dups are rare, so this is ~1% of the corpus).
-        from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+        from bloom_filters_spark.operators.arrow_sig import (
+            detect_hot_shingles,
+            fused_band_rows,
+            signatures_arrow,
+        )
 
+        hot = None
+        if cfg.boilerplate_max_df is not None:
+            hot = detect_hot_shingles(
+                df, df.count(), cfg.boilerplate_max_df,
+                cfg.shingle_size, cfg.max_value, id_col, text_col,
+            )
         bands = fused_band_rows(
             df, cfg.factory(), cfg.bands, cfg.rows_per_band,
             cfg.shingle_size, cfg.max_value, id_col, text_col,
+            hot_shingles=hot,
         )
         candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
         ids = (
@@ -317,7 +382,15 @@ def near_dup_pipeline(
             .distinct()
         )
         participants = df.join(ids, id_col, "left_semi")
-        sigs = signatures(participants, cfg, id_col, text_col).persist()
+        # participants' signatures must prune with the SAME hot set the
+        # band kernel used, or verify-side estimates drift from banding
+        sigs = signatures_arrow(
+            participants, cfg.factory(),
+            shingle_size=cfg.shingle_size, max_value=cfg.max_value,
+            id_col=id_col, text_col=text_col,
+            need_shingles=cfg.verify in ("exact", "both"),
+            hot_shingles=hot,
+        ).persist()
     else:
         sigs = signatures(df, cfg, id_col, text_col)
         if cfg.cache_signatures:
@@ -338,6 +411,16 @@ def near_dup_pipeline(
     clusters = connected_components(
         pairs, vertices=df.select(id_col), id_col=id_col, n_edges=n_pairs
     )
+    if doc_rep is not None:
+        # re-expand collapsed exact duplicates: every doc inherits its
+        # representative's cluster (rep ids are per-group minima, so
+        # cluster_id stays "min doc id in component")
+        rep_clusters = clusters.select(
+            F.col(id_col).alias("_rep"), "cluster_id"
+        )
+        clusters = doc_rep.join(rep_clusters, "_rep").select(
+            id_col, "cluster_id"
+        )
     if return_stages:
         return clusters, {
             "sigs": sigs,
@@ -351,4 +434,6 @@ def near_dup_pipeline(
     # union-find collects the edges; labelprop localCheckpoints), so the
     # cached edge set can be released too
     pairs.unpersist()
+    if doc_rep is not None:
+        doc_rep.unpersist()
     return clusters

@@ -218,6 +218,57 @@ def test_pages_near_dup_url_keyed(spark):
     assert out_html == out
 
 
+def test_boilerplate_pruning(spark):
+    """Docs that only share a high-doc-frequency boilerplate block must
+    stop pairing once CMS frequent-shingle pruning is on; genuinely
+    duplicated content must still pair."""
+    boiler = " ".join(f"nav{j}" for j in range(40))
+    docs = [
+        (i, boiler + " " + " ".join(f"u{i}w{j * 7 + i}" for j in range(8)))
+        for i in range(40)
+    ]
+    # one real near-dup pair with distinct content
+    real = " ".join(f"core{j}" for j in range(30))
+    docs += [(100, boiler + " " + real), (101, boiler + " " + real)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # without pruning the shared boilerplate dominates every signature
+    cfg_off = NearDupConfig(threshold=0.7)
+    _, st_off = near_dup_pipeline(df, cfg_off, return_stages=True)
+    off_pairs = {(r["id1"], r["id2"]) for r in st_off["pairs"].collect()}
+    assert len(off_pairs) > 1  # boilerplate-only false pairs exist
+
+    cfg_on = NearDupConfig(threshold=0.7, boilerplate_max_df=0.5)
+    _, st_on = near_dup_pipeline(df, cfg_on, return_stages=True)
+    on_pairs = {(r["id1"], r["id2"]) for r in st_on["pairs"].collect()}
+    assert on_pairs == {(100, 101)}, on_pairs
+
+
+def test_exact_prededup_preserves_clusters(spark):
+    """HLL-gated exact pre-dedup must give the same cluster assignment
+    as the base pipeline: exact copies collapse to a representative
+    before LSH and re-expand afterwards."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = [
+        (0, base), (1, base), (2, base),                # exact triplet
+        (3, base + " extra token here appended now"),   # near-dup of them
+        (4, "completely unrelated content words only zulu yankee xray"),
+        (5, ""),
+        (6, "   "),                                     # empty-normalized
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cfg_off = NearDupConfig(threshold=0.5, exact_prededup="off")
+    cfg_on = NearDupConfig(threshold=0.5, exact_prededup="on")
+    got_off = {r["doc_id"]: r["cluster_id"]
+               for r in near_dup_pipeline(df, cfg_off).collect()}
+    got_on = {r["doc_id"]: r["cluster_id"]
+              for r in near_dup_pipeline(df, cfg_on).collect()}
+    assert got_on == got_off
+    assert got_on[0] == got_on[1] == got_on[2] == 0
+    # empty docs remain singletons under both paths
+    assert got_on[5] == 5 and got_on[6] == 6
+
+
 def test_hot_band_star_fallback(spark):
     """An oversized band group (boilerplate) must still link its docs via
     star pairs, without emitting O(n^2) pairs."""
