@@ -1,0 +1,120 @@
+"""spark-submit entry point for the near-duplicate clustering pipeline.
+
+Ship the library as a zip and submit (north-rule deployment shape):
+
+    python tools/package.py                       # -> build/bloom_filters_spark.zip
+    spark-submit --master <cluster> \
+        --py-files build/bloom_filters_spark.zip \
+        jobs/near_dup_job.py \
+        --input  /path/to/docs.parquet \
+        --output /path/to/clusters \
+        [--pages] [--lang en] [--threshold 0.8] \
+        [--checkpoint-root /path/to/ckpt] [--boilerplate-max-df 0.3]
+
+With ``--checkpoint-root`` the run is resumable: re-submitting after a
+crash recomputes only incomplete buckets/stages (see checkpoint.py).
+Writes the cluster table to ``--output`` and a one-line JSON metrics
+summary to ``<output>_metrics.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet path of docs/pages")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--pages", action="store_true",
+                   help="input is a pages(url, warc_ts, html, text, lang) table")
+    p.add_argument("--lang", default=None)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--num-hashes", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--shingle-size", type=int, default=3)
+    p.add_argument("--boilerplate-max-df", type=float, default=None)
+    p.add_argument("--exact-prededup", default="auto",
+                   choices=["auto", "on", "off"])
+    p.add_argument("--checkpoint-root", default=None)
+    p.add_argument("--checkpoint-buckets", type=int, default=32)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("near-dup-clustering")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    # import AFTER the session exists: --py-files archives land on
+    # sys.path when the SparkContext registers them (client mode)
+    from bloom_filters_spark.pipeline import (
+        NearDupConfig,
+        near_dup_pipeline,
+        pages_near_dup,
+    )
+
+    cfg = NearDupConfig(
+        threshold=args.threshold,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        shingle_size=args.shingle_size,
+        boilerplate_max_df=args.boilerplate_max_df,
+        exact_prededup=args.exact_prededup,
+    )
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    if args.pages:
+        clusters = pages_near_dup(df, cfg, lang=args.lang)
+    elif args.checkpoint_root:
+        from bloom_filters_spark.checkpoint import (
+            CheckpointConfig,
+            CheckpointedNearDup,
+        )
+
+        cp = CheckpointedNearDup(
+            spark, cfg,
+            CheckpointConfig(args.checkpoint_root, args.checkpoint_buckets),
+        )
+        clusters = cp.run(df, id_col=args.id_col, text_col=args.text_col)
+    else:
+        clusters = near_dup_pipeline(
+            df, cfg, id_col=args.id_col, text_col=args.text_col
+        )
+    clusters.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    n_rows = out.count()
+    key = out.columns[0]
+    cluster_col = out.columns[1]
+    n_clusters = out.select(cluster_col).distinct().count()
+    metrics = {
+        "input": args.input,
+        "rows": n_rows,
+        "clusters": n_clusters,
+        "dup_rows": n_rows - n_clusters,
+        "wall_sec": round(time.time() - t0, 2),
+        "config": {
+            "threshold": args.threshold,
+            "num_hashes": args.num_hashes,
+            "bands": args.bands,
+            "shingle_size": args.shingle_size,
+        },
+    }
+    line = json.dumps(metrics)
+    print(line)
+    with open(args.output.rstrip("/") + "_metrics.json", "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
