@@ -69,6 +69,10 @@ def ngram_jaccard_pairs(
         F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
         sh.alias("sh"),
     ).filter(F.size("sh") > 0)
+    # both join sides scan `prepared`; the shingle-string construction is
+    # interpreted higher-order functions (the price of SQL-oracle-exact
+    # string semantics), so computing it twice doubles the query
+    prepared = prepared.persist()
     a = prepared.select(
         F.col("blk"), F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
     )

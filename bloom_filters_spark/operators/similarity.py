@@ -175,16 +175,45 @@ def lsh_cosine_topk(
     ~n/2^n_planes per table."""
     rng = np.random.default_rng(seed)
     planes = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    # all tables' hyperplanes as one (n_tables*n_planes, dim) matrix so a
+    # batch's bucket ids come from a single matmul (the expression-level
+    # variant evaluates n_tables*n_planes interpreted dot products per
+    # row — measured ~6s vs <1s at 2000 vectors)
+    planes_all = np.vstack(planes)
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
 
     def bucketed(df, idc):
-        out = df.select(
-            idc,
-            F.col(vec_col),
-            F.posexplode(
-                F.array(*[hyperplane_bucket_expr(F.col(vec_col), p) for p in planes])
-            ).alias("table_id", "bucket"),
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def compute(batches):
+            for batch in batches:
+                n = len(batch)
+                if n == 0:
+                    continue
+                flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+                m = flat.astype(np.float64).reshape(n, -1)
+                signs = (m @ planes_all.T) >= 0          # (n, T*P)
+                bits = signs.reshape(n, n_tables, n_planes)
+                buckets = (bits * pow2[None, None, :]).sum(axis=2)
+                idx = pa.array(np.repeat(np.arange(n), n_tables))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pc.take(batch.column(0), idx),
+                        pc.take(batch.column(1), idx),
+                        pa.array(
+                            np.tile(np.arange(n_tables, dtype=np.int32), n)
+                        ),
+                        pa.array(buckets.reshape(-1)),
+                    ],
+                    names=[idc, vec_col, "table_id", "bucket"],
+                )
+
+        vec_type = dict(df.dtypes)[vec_col]
+        return df.select(idc, vec_col).mapInArrow(
+            compute,
+            f"{idc} long, {vec_col} {vec_type}, table_id int, bucket long",
         )
-        return out
 
     bi = bucketed(items, id_col)
     bq = bucketed(queries, query_id_col).select(
