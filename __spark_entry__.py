@@ -64,13 +64,20 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     cfg = NearDupConfig(threshold=0.7, num_hashes=128, bands=64)
     docs = _docs(spark, sf_dir)
     sigs = signatures(docs, cfg)
-    cands = candidate_pairs(lsh_bands(sigs, cfg), cfg.max_band_group)
-    sets = docs.select(
+    cands = candidate_pairs(lsh_bands(sigs, cfg), cfg.max_band_group).persist()
+    # string-shingle sets are interpreted HOFs (the price of DuckDB-exact
+    # string semantics) — build them only for candidate participants
+    ids = (
+        cands.select(F.col("id1").alias("doc_id"))
+        .unionByName(cands.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    sets = docs.join(ids, "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(
             shingle_strings_expr(tokens_expr(F.col("text")), cfg.shingle_size)
         ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).persist()
     a = sets.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     b = sets.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
