@@ -48,8 +48,13 @@ def main():
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     # warm up JVM + Python workers once so the first measured query isn't
-    # paying session bootstrap (sandbox worker spawn is slow)
+    # paying session bootstrap (sandbox worker spawn is slow).  The
+    # mapInArrow no-op spawns the Arrow Python worker pool the dedup
+    # kernels run on.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(0, 10000, 1, cpus).mapInArrow(
+        lambda it: it, "id long"
+    ).selectExpr("count(1)").collect()
 
     qs = entrymod.queries()
     timings = {}

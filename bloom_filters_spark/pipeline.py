@@ -376,11 +376,18 @@ def near_dup_pipeline(
             hot_shingles=hot,
         )
         candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+        n_cands = candidates.count()
         ids = (
             candidates.select(F.col("id1").alias(id_col))
             .unionByName(candidates.select(F.col("id2").alias(id_col)))
             .distinct()
         )
+        # a plain semi-join would shuffle the full corpus INCLUDING the
+        # text column by id (measured 1.2GB at 800k docs); the id set is
+        # bounded by 2x the candidate count, so broadcast it when small
+        # and let the text column stream map-side
+        if n_cands < 25_000_000:
+            ids = F.broadcast(ids)
         participants = df.join(ids, id_col, "left_semi")
         # participants' signatures must prune with the SAME hot set the
         # band kernel used, or verify-side estimates drift from banding

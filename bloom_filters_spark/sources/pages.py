@@ -116,6 +116,44 @@ def pages_table(spark: SparkSession, n_docs: int, seed: int = 42,
     return ids.mapInPandas(gen, PAGES_SCHEMA)
 
 
+def truth_pairs(spark: SparkSession, n_docs: int, seed: int = 42,
+                w: int = 3, min_jaccard: float = 0.2) -> DataFrame:
+    """Ground-truth side table (FIXTURES.md §1): for every planted
+    original/copy pair ``(2k, 2k+1)``, the EXACT w-shingle Jaccard of
+    the two texts (string shingles — collision-free truth).  Pairs below
+    ``min_jaccard`` (independent odd docs) are omitted.
+
+    Pure function of (n_docs, seed), distributed like ``pages_table``;
+    recall benches join pipeline pairs against this table.
+    """
+    half = spark.range(0, n_docs // 2, 1,
+                       max(spark.sparkContext.defaultParallelism, 4))
+
+    def shingle_set(text: str) -> set:
+        toks = text.split()
+        n = max(len(toks) - w + 1, 1)
+        return {" ".join(toks[i: i + w]) for i in range(n)}
+
+    def gen(batches):
+        for pdf in batches:
+            base_ids = (pdf["id"].to_numpy() * 2).astype(np.int64)
+            both = generate_pages_pdf(
+                np.sort(np.concatenate([base_ids, base_ids + 1])), seed
+            ).set_index("doc_id")
+            rows = []
+            for b in base_ids.tolist():
+                if b + 1 >= n_docs:
+                    continue
+                sa = shingle_set(both.loc[b, "text"])
+                sb = shingle_set(both.loc[b + 1, "text"])
+                j = len(sa & sb) / max(len(sa | sb), 1)
+                if j >= min_jaccard:
+                    rows.append({"id1": b, "id2": b + 1, "jaccard": j})
+            yield pd.DataFrame(rows, columns=["id1", "id2", "jaccard"])
+
+    return half.mapInPandas(gen, "id1 long, id2 long, jaccard double")
+
+
 def extract_text_expr(html_col):
     """html binary → text, byte-identical per url (input_hint contract).
 

@@ -218,6 +218,30 @@ def test_pages_near_dup_url_keyed(spark):
     assert out_html == out
 
 
+def test_recall_against_truth_pairs(spark):
+    """Corpus-level recall (BASELINE target ≥0.99): pipeline pairs at
+    threshold 0.8 must recover ≥99% of planted pairs whose EXACT
+    w-shingle Jaccard is ≥0.9 (well above threshold, so the k=128
+    estimator's boundary noise can't excuse a miss)."""
+    from bloom_filters_spark.sources.pages import pages_table, truth_pairs
+
+    n = 20_000
+    docs = pages_table(spark, n, seed=11).select("doc_id", "text")
+    truth = {
+        (r["id1"], r["id2"])
+        for r in truth_pairs(spark, n, seed=11).filter(
+            F.col("jaccard") >= 0.9
+        ).collect()
+    }
+    assert len(truth) > 100  # the corpus really plants high-J pairs
+    _, stages = near_dup_pipeline(
+        docs, NearDupConfig(threshold=0.8), return_stages=True
+    )
+    got = {(r["id1"], r["id2"]) for r in stages["pairs"].collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.99, f"recall {recall}, missed {sorted(truth - got)[:5]}"
+
+
 def test_boilerplate_pruning(spark):
     """Docs that only share a high-doc-frequency boilerplate block must
     stop pairing once CMS frequent-shingle pruning is on; genuinely

@@ -41,18 +41,39 @@ def ensure_corpus(spark, n_docs: int):
 
 
 def profile_once(spark, cfg):
+    """Mirrors the FUSED default path of near_dup_pipeline stage by
+    stage (text→band rows, candidates, participant signatures, verify,
+    components)."""
+    from pyspark.sql import functions as F
+
+    from bloom_filters_spark.operators.arrow_sig import (
+        fused_band_rows,
+        signatures_arrow,
+    )
+
     docs = spark.read.parquet(CORPUS)
     t = {}
     t0 = time.time()
-    sigs = signatures(docs, cfg).persist()
-    n_sigs = sigs.count()
-    t["signatures"] = time.time() - t0
-
-    t0 = time.time()
-    bands = lsh_bands(sigs, cfg)
+    bands = fused_band_rows(
+        docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
+        cfg.shingle_size, cfg.max_value,
+    )
     cands = candidate_pairs(bands, cfg.max_band_group).persist()
     n_cands = cands.count()
     t["bands+candidates"] = time.time() - t0
+
+    t0 = time.time()
+    ids = (
+        cands.select(F.col("id1").alias("doc_id"))
+        .unionByName(cands.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    sigs = signatures_arrow(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"), cfg.factory(),
+        shingle_size=cfg.shingle_size, max_value=cfg.max_value,
+    ).persist()
+    n_sigs = sigs.count()
+    t["participant_signatures"] = time.time() - t0
 
     t0 = time.time()
     pairs = verified_pairs(cands, sigs, cfg).persist()
@@ -60,7 +81,9 @@ def profile_once(spark, cfg):
     t["verify"] = time.time() - t0
 
     t0 = time.time()
-    clusters = connected_components(pairs, vertices=docs.select("doc_id"))
+    clusters = connected_components(
+        pairs, vertices=docs.select("doc_id"), n_edges=n_pairs
+    )
     n_clusters = clusters.count()
     t["components"] = time.time() - t0
 
