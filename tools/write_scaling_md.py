@@ -25,9 +25,12 @@ executor fleet.  Without pinning, a `local[8]` run on a 32-core box
 quietly borrows the idle 24 cores for Python workers and the "8-core"
 time is fiction (measured: unpinned local[8] beat local[32]).
 
-Per level: fresh JVM, 4 runs, fastest of runs 2-4 (run 1 pays JIT +
-Python-worker spawn), `spark.catalog.clearCache()` between runs so no
-run reuses a previous run's persisted stage.
+Per level: fresh JVM, 5 runs, fastest of runs 2-5 reported with the
+full warm-trial list in the JSON (run 1 pays JIT + Python-worker spawn,
+warmup extends into run 2 on this host, and neighbor noise only ever
+inflates a trial — min is the steady-state statistic);
+`spark.catalog.clearCache()` between runs so no run reuses a previous
+run's persisted stage.
 
 ## Host ceiling (why two experiments)
 
