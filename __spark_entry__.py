@@ -248,18 +248,25 @@ def q_bloom_prune_semijoin(spark, sf_dir):
 # relational engine coverage (TPC-H-ish)
 # ---------------------------------------------------------------------------
 
+def _cents(c):
+    """Exact money math: double dollars -> integer cents.  Both engines
+    evaluate round(x*100) identically on IEEE doubles (positive values,
+    half-away == HALF_UP), and BIGINT sums hash identically across
+    engines — decimal/double outputs do not survive the driver's
+    cross-engine value normalization."""
+    return F.round(F.col(c) * 100).cast("bigint")
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(
-                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            ).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(disc_e4).alias("sum_disc_price_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -270,17 +277,13 @@ def q_q3_top_orders(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
+    rev_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-            ).cast("decimal(38,4)").alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
     )
     return rev
@@ -563,11 +566,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
-                 sum(CAST(l_quantity AS DECIMAL(18,2)))::DECIMAL(38,2) AS sum_qty,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DECIMAL(38,2) AS sum_base_price,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DECIMAL(38,4)
-                   AS sum_disc_price,
+                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_price_cents,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS sum_disc_price_e4,
                  count(*) AS count_order
           FROM lineitem
           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -576,15 +581,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_orders": """
           SELECT l_orderkey,
-                 sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DECIMAL(38,4)
-                   AS revenue
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS revenue_e4
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           WHERE c_mktsegment = 'BUILDING'
           GROUP BY l_orderkey
-          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+          ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10
         """,
         "top_suppliers_per_nation": """
           SELECT s_nationkey, s_suppkey, rnk FROM (
