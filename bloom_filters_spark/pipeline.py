@@ -296,14 +296,16 @@ def pages_near_dup(
         keyed.select("_nid", "_t"), cfg, id_col="_nid", text_col="_t"
     )
     urls = keyed.select("_nid", url_col)
-    canon = urls.select(
-        F.col("_nid").alias("cluster_id"), F.col(url_col).alias("cluster_url")
+    # canonical member = lexicographically smallest url in the component:
+    # stable under the internal key-hashing scheme (min _nid would leak
+    # xxhash64 ordering into the user-visible contract) and exactly
+    # replicable by a SQL oracle.  One extra tiny shuffle over the
+    # (cluster_id, url) projection.
+    labeled = clusters.join(urls, "_nid")
+    canon = labeled.groupBy("cluster_id").agg(
+        F.min(url_col).alias("cluster_url")
     )
-    return (
-        clusters.join(urls, "_nid")
-        .join(canon, "cluster_id")
-        .select(url_col, "cluster_url")
-    )
+    return labeled.join(canon, "cluster_id").select(url_col, "cluster_url")
 
 
 def near_dup_pipeline(
