@@ -20,12 +20,18 @@ import math
 
 import numpy as np
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64
+from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64, xxh64_u64
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
 
 HASHES = 3
 ALLOWED_BITS = (8, 16, 32, 64)
 MASK64 = (1 << 64) - 1
+
+_INT_DTYPES = (np.dtype(np.int64), np.dtype(np.uint64))
+
+
+def _is_u64_batch(elements) -> bool:
+    return isinstance(elements, np.ndarray) and elements.dtype in _INT_DTYPES
 
 
 class XorFilter(SketchBase):
@@ -50,7 +56,18 @@ class XorFilter(SketchBase):
         return l + ((3 - (l % 3)) % 3)
 
     def _hash64(self, element, seed: int) -> int:
+        if isinstance(element, (int, np.integer)):
+            # same domain as the vectorized u64-lane path: the 8-byte
+            # little-endian encoding of the value's uint64 view
+            return xxh64((int(element) & MASK64).to_bytes(8, "little"), seed)
         return xxh64(element, seed)
+
+    def _element_hashes(self, elements) -> list[int]:
+        if _is_u64_batch(elements):
+            h = xxh64_u64(elements.astype(np.uint64, copy=False),
+                          self._build_seed)
+            return [int(v) for v in h]
+        return [self._hash64(k, self._build_seed) for k in elements]
 
     def _fingerprint(self, h: int) -> int:
         return (h ^ (h >> 32)) & ((1 << self.bits) - 1)
@@ -68,12 +85,31 @@ class XorFilter(SketchBase):
         return fp == x
 
     def has_batch(self, elements) -> np.ndarray:
+        if _is_u64_batch(elements):
+            # fully vectorized probe: one xxh64_u64 pass + 3 gathers
+            with np.errstate(over="ignore"):
+                h = xxh64_u64(elements.astype(np.uint64, copy=False),
+                              self._build_seed)
+                fp = (h ^ (h >> np.uint64(32))) & np.uint64(
+                    (1 << self.bits) - 1 if self.bits < 64 else MASK64
+                )
+                x = np.zeros(len(h), dtype=np.uint64)
+                bl = np.uint64(self.block_length)
+                for i in range(HASHES):
+                    slot = (h >> np.uint64(21 * i)) % bl + np.uint64(i) * bl
+                    x ^= self.filter[slot.astype(np.int64)]
+                return fp == x
         return np.array([self.has(e) for e in elements], dtype=bool)
 
-    def add(self, elements: list):
+    def add(self, elements):
         if len(elements) != self.size:
             raise ValueError(f"This filter has been created for exactly {self.size} elements")
-        if len(set(elements)) != len(elements):
+        n_unique = (
+            len(np.unique(elements))
+            if isinstance(elements, np.ndarray)
+            else len(set(elements))
+        )
+        if n_unique != len(elements):
             raise ValueError("This filter has duplicate values")
         self._create(elements)
         return self
@@ -81,7 +117,8 @@ class XorFilter(SketchBase):
     @classmethod
     def from_items(cls, elements, bits_per_fingerprint: int = 8,
                    seed: int = DEFAULT_SEED) -> "XorFilter":
-        elements = list(elements)
+        if not isinstance(elements, np.ndarray):
+            elements = list(elements)
         f = cls(len(elements), bits_per_fingerprint, seed)
         f.add(elements)
         return f
@@ -95,7 +132,7 @@ class XorFilter(SketchBase):
             t2count = np.zeros(table_len, dtype=np.int64)
             t2 = np.zeros(table_len, dtype=object)
             t2[:] = 0
-            hashes = [self._hash64(k, self._build_seed) for k in elements]
+            hashes = self._element_hashes(elements)
             ok = True
             for h in hashes:
                 for hi in range(HASHES):
