@@ -295,6 +295,65 @@ def q_bloom_prune_semijoin(spark, sf_dir):
     )
 
 
+def q_cuckoo_prune_semijoin(spark, sf_dir):
+    """Cuckoo prune + exact confirm (cuckoo-filter.ts:176-339 semantics;
+    same prune-then-verify shape as the Bloom query, but the filter
+    supports remove — the deny/seen-list variant with churn)."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        build_cuckoo,
+        cuckoo_filter_column,
+    )
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    li = _read(spark, sf_dir, "lineitem")
+    ck = build_cuckoo(part, "p_partkey", error_rate=1e-3)
+    pruned = cuckoo_filter_column(li, "l_partkey", ck)
+    confirmed = pruned.join(
+        part.select("p_partkey"), pruned.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        confirmed.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_counting_bloom_retract(spark, sf_dir):
+    """CountingBloom with retraction (counting-bloom-filter.ts remove
+    semantics): build over part keys p_size<=10, retract the p_size<=5
+    subset, probe lineitem, exact-confirm against the surviving key set
+    (5 < p_size <= 10).  Shared counters guarantee no false negatives
+    for kept keys, so confirmed counts are exact."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        build_counting_bloom,
+        counting_bloom_filter_column,
+        counting_bloom_remove,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    added = part.filter(F.col("p_size") <= 10)
+    retracted = part.filter(F.col("p_size") <= 5)
+    survivors = part.filter((F.col("p_size") > 5) & (F.col("p_size") <= 10))
+    li = _read(spark, sf_dir, "lineitem")
+    # size from the actual key count (p_partkey is the part table's key):
+    # an oversized counting filter is all serialization cost — counters
+    # ride between executors in the reference's JSON cell-list format
+    n_keys = added.count()
+    cbf = build_counting_bloom(added, "p_partkey",
+                               capacity=max(n_keys, 1024),
+                               error_rate=1e-3)
+    cbf = counting_bloom_remove(cbf, retracted, "p_partkey")
+    pruned = counting_bloom_filter_column(li, "l_partkey", cbf)
+    confirmed = pruned.join(
+        survivors.select("p_partkey"),
+        pruned.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    return (
+        confirmed.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational engine coverage (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -493,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_exact": q_distinct_users_exact,
         "hll_distinct_users": q_hll_distinct_users,
         "bloom_prune_semijoin": q_bloom_prune_semijoin,
+        "cuckoo_prune_semijoin": q_cuckoo_prune_semijoin,
+        "counting_bloom_retract": q_counting_bloom_retract,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
@@ -738,6 +799,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_returnflag AS returnflag, count(*) AS n_rows
           FROM lineitem
           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+          GROUP BY l_returnflag
+        """,
+        "cuckoo_prune_semijoin": """
+          SELECT l_returnflag AS returnflag, count(*) AS n_rows
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+          GROUP BY l_returnflag
+        """,
+        "counting_bloom_retract": """
+          SELECT l_returnflag AS returnflag, count(*) AS n_rows
+          FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_size > 5 AND p_size <= 10
+          )
           GROUP BY l_returnflag
         """,
         "q1_pricing_summary": """

@@ -28,11 +28,14 @@ HEADLINE = [
     "cms_event_counts",
     "hll_distinct_users",
     "bloom_prune_semijoin",
+    "cuckoo_prune_semijoin",
+    "counting_bloom_retract",
     "q1_pricing_summary",
     "q3_top_orders",
     "top_suppliers_per_nation",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
+    "embedding_ann_recall",
     "embedding_mutual_nn",
     "xor_membership",
     "set_reconcile_customers",

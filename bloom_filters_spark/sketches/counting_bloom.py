@@ -17,7 +17,11 @@ import math
 
 import numpy as np
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, get_indexes_batch
+from bloom_filters_spark.hashing import (
+    DEFAULT_SEED,
+    get_indexes_batch,
+    get_indexes_u64,
+)
 from bloom_filters_spark.sketches.base import (
     SketchBase,
     export_bigint,
@@ -52,6 +56,13 @@ class CountingBloomFilter(SketchBase):
         return f
 
     def _indexes(self, elements) -> np.ndarray:
+        if isinstance(elements, np.ndarray) and elements.dtype in (
+            np.dtype(np.uint64),
+            np.dtype(np.int64),
+        ):
+            return get_indexes_u64(
+                elements.astype(np.uint64), self.size, self.nb_hashes, self.seed
+            )
         return get_indexes_batch(elements, self.size, self.nb_hashes, self.seed)
 
     def add(self, element):
@@ -72,6 +83,21 @@ class CountingBloomFilter(SketchBase):
         self.bits[idx] = np.where(self.counters[idx] <= 0, 0, self.bits[idx])
         self.length -= 1
         return True
+
+    def remove_batch(self, elements):
+        """Batched remove — same end state as per-element ``remove``:
+        counters only decrease during a removal batch, so "counter <= 0
+        at any intermediate step" and "counter <= 0 at the end" clear
+        the same bits."""
+        if len(elements) == 0:
+            return
+        idx = self._indexes(elements).ravel()
+        np.add.at(self.counters, idx, -1)
+        touched = np.unique(idx)
+        self.bits[touched] = np.where(
+            self.counters[touched] <= 0, 0, self.bits[touched]
+        ).astype(np.int8)
+        self.length -= len(elements)
 
     def has(self, element) -> bool:
         return bool(self.has_batch([element])[0])

@@ -22,8 +22,12 @@ from __future__ import annotations
 import math
 import random as _random
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64
+import numpy as np
+
+from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64, xxh64_u64
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+
+MASK64 = (1 << 64) - 1
 
 
 def compute_fingerprint_length(bucket_size: int, error_rate: float) -> int:
@@ -59,15 +63,64 @@ class CuckooFilter(SketchBase):
             f.add(e)
         return f
 
+    def _hash_element(self, element) -> int:
+        """Engine addition: integer elements hash as their uint64
+        little-endian bytes — the same domain as the vectorized
+        ``xxh64_u64`` lanes used by the distributed build/probe paths.
+        (The reference only accepts strings/bytes.)"""
+        if isinstance(element, (int, np.integer)):
+            return xxh64((int(element) & MASK64).to_bytes(8, "little"), self.seed)
+        return xxh64(element, self.seed)
+
     def _locations(self, element):
-        h = xxh64(element, self.seed)
+        return self._locations_from_hash(self._hash_element(element))
+
+    def _locations_from_hash(self, h: int):
         hex_str = format(h, "x")  # no zero padding — faithful
         fp = hex_str[: self.f_length]
         i1 = h % self.size
         i2 = (h ^ xxh64(fp, self.seed)) % self.size
         return fp, i1, i2
 
+    def has_batch(self, elements) -> np.ndarray:
+        """Batched probe: element hashes vectorize (uint64 lanes for
+        integer arrays); the per-fingerprint ``xxh64(fp)`` — needed for
+        the second bucket index — is memoized (there are at most
+        16^f_length distinct fingerprints), and bucket membership checks
+        run against cached per-bucket sets."""
+        if len(elements) == 0:
+            return np.zeros(0, dtype=bool)
+        if isinstance(elements, np.ndarray) and elements.dtype in (
+            np.dtype(np.int64), np.dtype(np.uint64),
+        ):
+            hs = xxh64_u64(elements.astype(np.uint64, copy=False), self.seed)
+            hs = [int(v) for v in hs]
+        else:
+            hs = [self._hash_element(e) for e in elements]
+        f = self.f_length
+        cache = getattr(self, "_fp_hash_cache", None)
+        if cache is None:
+            cache = self._fp_hash_cache = {}
+        bsets = getattr(self, "_bucket_sets", None)
+        if bsets is None:
+            bsets = self._bucket_sets = [set(b) for b in self.buckets]
+        out = np.empty(len(hs), dtype=bool)
+        size = self.size
+        for i, h in enumerate(hs):
+            fp = format(h, "x")[:f]
+            fph = cache.get(fp)
+            if fph is None:
+                fph = cache[fp] = xxh64(fp, self.seed)
+            out[i] = (
+                fp in bsets[h % size] or fp in bsets[(h ^ fph) % size]
+            )
+        return out
+
+    def _invalidate_probe_cache(self):
+        self._bucket_sets = None
+
     def add(self, element) -> bool:
+        self._invalidate_probe_cache()
         fp, i1, i2 = self._locations(element)
         if len(self.buckets[i1]) < self.bucket_size:
             self.buckets[i1].append(fp)
@@ -100,6 +153,7 @@ class CuckooFilter(SketchBase):
         return fp in self.buckets[i1] or fp in self.buckets[i2]
 
     def remove(self, element) -> bool:
+        self._invalidate_probe_cache()
         fp, i1, i2 = self._locations(element)
         if fp in self.buckets[i1]:
             self.buckets[i1].remove(fp)
