@@ -165,6 +165,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_substring_dup_pairs(spark, sf_dir):
+    """Exact-substring dedup (suffix-array leg of the north rule): doc
+    pairs sharing a verbatim 8-token substring + how many distinct
+    shared 8-grams.  Candidates from one rolling-hash Arrow pass,
+    verification on exact string grams (participants only)."""
+    from bloom_filters_spark.operators.substring import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(spark, sf_dir), L=8)
+
+
+def q_substring_lcs(spark, sf_dir):
+    """Per near-dup pair, the EXACT longest common token substring via
+    per-pair suffix array + Kasai LCP (see operators/substring.py)."""
+    from bloom_filters_spark.operators.substring import substring_lcs_pairs
+
+    return substring_lcs_pairs(_docs(spark, sf_dir), L=8)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -542,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "substring_lcs": q_substring_lcs,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -720,6 +740,51 @@ def oracle_sql() -> dict[str, str]:
             ON a.blk = b.blk AND a.doc_id < b.doc_id
           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        """,
+        "substring_dup_pairs": f"""
+          WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+          ), sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 7, 0) + 1),
+                     i -> array_to_string(t[i:i+7], ' ')
+                   )) AS g
+            FROM toks WHERE len(t) >= 8
+          )
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared
+          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.g, b.g)) > 0
+        """,
+        "substring_lcs": f"""
+          WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+          ), sets8 AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 7, 0) + 1),
+                     i -> array_to_string(t[i:i+7], ' ')
+                   )) AS g
+            FROM toks WHERE len(t) >= 8
+          ), pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM sets8 a JOIN sets8 b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g)) > 0
+          ), ids AS (
+            SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs
+          ), gall AS (
+            SELECT doc_id, r1.l AS l, array_to_string(t[i:i+r1.l-1], ' ') AS gram
+            FROM toks,
+                 UNNEST(range(1, len(t) + 1)) AS r1(l),
+                 UNNEST(range(1, len(t) - r1.l + 2)) AS r2(i)
+            WHERE doc_id IN (SELECT id FROM ids)
+          )
+          SELECT p.id1, p.id2, CAST(max(ga.l) AS BIGINT) AS lcs_tokens
+          FROM pairs p
+          JOIN gall ga ON ga.doc_id = p.id1
+          JOIN gall gb ON gb.doc_id = p.id2 AND gb.gram = ga.gram
+          GROUP BY p.id1, p.id2
         """,
         "token_counts": f"""
           SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents

@@ -21,6 +21,8 @@ HEADLINE = [
     "dedup_exact",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
+    "substring_dup_pairs",
+    "substring_lcs",
     "token_counts",
     "text_quality",
     "lang_id",

@@ -1,0 +1,123 @@
+"""Exact-substring (suffix-array) dedup: kernel properties + Spark
+pipeline parity against a brute-force Python oracle."""
+
+import numpy as np
+import pytest
+
+from bloom_filters_spark.operators.substring import (
+    _lcp_kasai,
+    _suffix_array,
+    lcs_token_len,
+)
+
+
+def _brute_lcs(a, b):
+    best = 0
+    prev = np.zeros(len(b), dtype=int)
+    for i in range(len(a)):
+        cur = np.zeros(len(b), dtype=int)
+        eq = b == a[i]
+        cur[eq] = 1
+        if i > 0:
+            cur[1:][eq[1:]] = prev[:-1][eq[1:]] + 1
+        if len(cur):
+            best = max(best, int(cur.max()))
+        prev = cur
+    return best
+
+
+def test_suffix_array_sorts_suffixes():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        s = rng.integers(0, 4, rng.integers(1, 30))
+        sa = _suffix_array(s.astype(np.int64))
+        suf = [tuple(s[i:]) for i in sa]
+        assert suf == sorted(suf)
+
+
+def test_lcp_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        s = rng.integers(0, 3, rng.integers(2, 25)).astype(np.int64)
+        sa = _suffix_array(s)
+        lcp = _lcp_kasai(s, sa)
+        for r in range(1, len(s)):
+            i, j = sa[r], sa[r - 1]
+            h = 0
+            while i + h < len(s) and j + h < len(s) and s[i + h] == s[j + h]:
+                h += 1
+            assert lcp[r] == h
+
+
+def test_lcs_matches_dp_bruteforce():
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        v = rng.integers(2, 6)
+        a = rng.integers(0, v, rng.integers(0, 40))
+        b = rng.integers(0, v, rng.integers(0, 40))
+        assert lcs_token_len(a, b) == _brute_lcs(a, b)
+
+
+def _mini_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base + " unique tail zero alpha beta gamma delta epsilon"),
+        (1, base + " unique tail one alpha beta gamma delta epsilon"),
+        (2, "totally different text with no overlap at all here truly"),
+        (3, base),           # exact prefix-substring of 0 and 1
+        (4, "short doc"),    # < L tokens: must emit nothing
+        (5, None),           # null text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_grams(text, L):
+    toks = [t for t in text.lower().split() if t]
+    return {
+        " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+    } if len(toks) >= L else set()
+
+
+def test_substring_dup_pairs_parity(spark):
+    from bloom_filters_spark.operators.substring import substring_dup_pairs
+
+    L = 8
+    docs = _mini_docs(spark)
+    got = {
+        (r["id1"], r["id2"]): r["n_shared"]
+        for r in substring_dup_pairs(docs, L=L).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["text"]}
+    want = {}
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            shared = _py_grams(texts[ids[i]], L) & _py_grams(texts[ids[j]], L)
+            if shared:
+                want[(ids[i], ids[j])] = len(shared)
+    assert got == want
+    assert all(k[0] not in (4, 5) and k[1] not in (4, 5) for k in got)
+
+
+def test_substring_lcs_pairs_parity(spark):
+    from bloom_filters_spark.operators.substring import substring_lcs_pairs
+
+    docs = _mini_docs(spark)
+    got = {
+        (r["id1"], r["id2"]): r["lcs_tokens"]
+        for r in substring_lcs_pairs(docs, L=8).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["text"]}
+
+    def tok(t):
+        return [x for x in t.lower().split() if x]
+
+    for (i, j), lcs in got.items():
+        a, b = tok(texts[i]), tok(texts[j])
+        u = {t: k for k, t in enumerate(sorted(set(a + b)))}
+        want = _brute_lcs(
+            np.array([u[t] for t in a]), np.array([u[t] for t in b])
+        )
+        assert lcs == want and lcs >= 8
+    # doc 3 is a verbatim substring of docs 0 and 1
+    assert (0, 3) in got and (1, 3) in got and (0, 1) in got
