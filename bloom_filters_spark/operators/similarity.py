@@ -75,6 +75,8 @@ def mutual_nn_pairs(
     items: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 1024,
+    impl: str = "block",
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs: (a, b) that are each
     other's exact nearest neighbor by cosine (a < b).
@@ -83,13 +85,116 @@ def mutual_nn_pairs(
     float rounding across engines (cosines rounded 6dp before ranking,
     ties broken by smallest id — same convention as ``cosine_topk``).
 
-    Execution: the normalized item matrix is broadcast (closure) and
-    each Arrow batch computes its similarity block as ONE numpy matmul —
-    the expression-level alternative (zip_with/aggregate per pair) is
-    interpreted and was measured 60x slower at 2000 vectors.  This is
-    the exactness baseline and assumes the item side fits a broadcast
-    (n·dim doubles); the scale path buckets with ``lsh_cosine_topk``.
+    ``impl="block"`` (default, the distributed path): vectors hash into
+    ceil(n/block_size) blocks; every block PAIR becomes one task that
+    computes its similarity tile as a single numpy matmul and emits
+    per-row tile-local winners; a groupBy max reduces tiles to the
+    global nearest neighbor.  Exact, no driver materialization — driver
+    and executors each hold O(block_size·dim), not O(n·dim).  Work is
+    inherently O(n²/block_size²) tiles: the exactness baseline for
+    corpora up to ~10^7 vectors; beyond that, ``lsh_cosine_topk``
+    bucketing is the sublinear path.
+
+    ``impl="driver"`` (test oracle): the original collect + closure
+    broadcast variant — O(n·dim) on the driver, kept to cross-check the
+    block path in pytest.
     """
+    if impl == "driver":
+        nn = _exact_nn_driver(items, id_col, vec_col)
+    else:
+        nn = _exact_nn_block(items, id_col, vec_col, block_size)
+    rev = nn.select(F.col("src").alias("dst2"), F.col("dst").alias("src2"))
+    return (
+        nn.join(
+            rev,
+            (nn.src == F.col("src2")) & (nn.dst == F.col("dst2")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
+    )
+
+
+def _exact_nn_block(items: DataFrame, id_col: str, vec_col: str,
+                    block_size: int) -> DataFrame:
+    """(src, dst): exact cosine nearest neighbor per vector, computed as
+    a distributed blocked matmul over all block pairs."""
+    import math
+
+    import pyarrow as pa
+
+    n = items.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    blocks = items.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    packed = blocks.groupBy("_b").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).alias("rows")
+    )
+    cells = packed.select(
+        F.col("rows").alias("rows_l")
+    ).crossJoin(packed.select(F.col("rows").alias("rows_r")))
+
+    def _unpack(list_col, i):
+        sa = list_col.slice(i, 1).flatten()  # offset-aware
+        ids = sa.field("id").to_numpy(zero_copy_only=False)
+        vl = sa.field("v")
+        flat = vl.flatten().to_numpy(zero_copy_only=False)
+        m = flat.astype(np.float64).reshape(len(ids), -1) if len(ids) else None
+        return ids, m
+
+    def tile(batches):
+        for batch in batches:
+            rows_l, rows_r = batch.column(0), batch.column(1)
+            for i in range(len(batch)):
+                ids_l, ml = _unpack(rows_l, i)
+                ids_r, mr = _unpack(rows_r, i)
+                if ml is None or mr is None:
+                    continue
+                nl = np.linalg.norm(ml, axis=1)
+                nl[nl == 0] = 1.0
+                nr = np.linalg.norm(mr, axis=1)
+                nr[nr == 0] = 1.0
+                sims = np.round((ml / nl[:, None]) @ (mr / nr[:, None]).T, 6)
+                self_mask = ids_l[:, None] == ids_r[None, :]
+                sims[self_mask] = -np.inf
+                best = sims.max(axis=1)
+                has = best > -np.inf
+                if not has.any():
+                    continue
+                # tie-break: among max-cosine columns, smallest dst id
+                cand = np.where(
+                    sims == best[:, None], ids_r[None, :], np.iinfo(np.int64).max
+                )
+                dst = cand.min(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_l[has]),
+                        pa.array(dst[has]),
+                        pa.array(best[has]),
+                    ],
+                    names=["src", "dst", "cosine"],
+                )
+
+    cand = cells.mapInArrow(tile, "src long, dst long, cosine double")
+    best = (
+        cand.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine").alias("c"), (-F.col("dst")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select("src", (-F.col("m.nd")).alias("dst"))
+    )
+    return best
+
+
+def _exact_nn_driver(items: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     import pyarrow as pa
 
     rows = items.select(id_col, vec_col).collect()
@@ -104,7 +209,7 @@ def mutual_nn_pairs(
     def nn_block(batches):
         for batch in batches:
             bids = batch.column(0).to_numpy(zero_copy_only=False)
-            flat = batch.column(1).values.to_numpy(zero_copy_only=False)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
             n = len(bids)
             if n == 0:
                 continue
@@ -126,17 +231,8 @@ def mutual_nn_pairs(
                 names=["src", "dst"],
             )
 
-    nn = items.select(id_col, vec_col).mapInArrow(
+    return items.select(id_col, vec_col).mapInArrow(
         nn_block, "src long, dst long"
-    )
-    rev = nn.select(F.col("src").alias("dst2"), F.col("dst").alias("src2"))
-    return (
-        nn.join(
-            rev,
-            (nn.src == F.col("src2")) & (nn.dst == F.col("dst2")),
-        )
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
     )
 
 

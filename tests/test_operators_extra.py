@@ -26,6 +26,23 @@ def test_mutual_nn_pairs_planted(spark):
     assert all(a < b for a, b in got)
 
 
+def test_mutual_nn_block_matches_driver_oracle(spark):
+    """The distributed block-matmul path must equal the collect-based
+    oracle exactly, including across-block ties, at several block sizes
+    (block_size < n forces multi-tile reduction)."""
+    from bloom_filters_spark.operators.similarity import mutual_nn_pairs
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(12).tolist()) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {(r["id1"], r["id2"])
+            for r in mutual_nn_pairs(df, impl="driver").collect()}
+    for bs in (32, 64, 1024):
+        got = {(r["id1"], r["id2"])
+               for r in mutual_nn_pairs(df, block_size=bs).collect()}
+        assert got == want, bs
+
+
 def test_xor_filter_column_no_false_negatives(spark):
     from bloom_filters_spark.operators.sketch_agg import build_xor, xor_filter_column
 
