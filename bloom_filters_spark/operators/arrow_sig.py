@@ -421,7 +421,9 @@ def bands_arrow(sigs: DataFrame, bands: int, rows: int,
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             sig_col = batch.column(1)
-            flat = sig_col.values.to_numpy(zero_copy_only=False)
+            # flatten() is slice-offset-aware; .values would misalign on
+            # a sliced RecordBatch
+            flat = sig_col.flatten().to_numpy(zero_copy_only=False)
             n = len(ids)
             if n == 0:
                 continue
@@ -507,7 +509,6 @@ def detect_hot_shingles(
     max_value: int = DEFAULT_MAX_VALUE,
     id_col: str = "doc_id",
     text_col: str = "text",
-    partition_hint: int = 64,
 ) -> np.ndarray:
     """Boilerplate detector: shingle hashes whose document frequency
     exceeds ``max_doc_freq * n_docs`` (the CMS frequent-shingle pruning
@@ -517,20 +518,30 @@ def detect_hot_shingles(
     exactly a bucketed counter like this one, here collision-free
     because the shingle itself is the key).
 
-    Scale shape: each partition counts its per-doc-DISTINCT shingles and
-    emits only locally-hot ones (local count > cap/partition_hint —
-    any globally-hot shingle must be locally hot somewhere by
-    pigeonhole), so the shuffle carries a few hundred candidate rows,
-    not the shingle universe.  A global sum then applies the exact cap.
+    Scale shape — two passes, both shuffle-light, together EXACT:
+
+    1. candidates: each partition counts its per-doc-DISTINCT shingles
+       and emits only locally-hot ones (local count > cap // n_parts,
+       with n_parts the REAL partition count — by pigeonhole, a shingle
+       with global df > cap must exceed cap/n_parts in at least one
+       partition, so no globally-hot shingle can be missed).  The
+       shuffle carries a few hundred candidate rows, not the universe.
+    2. exact df: candidate hashes broadcast back (closure, sorted
+       array); a second pass counts candidate shingles ONLY, so the
+       global sum includes contributions from partitions where the
+       shingle was below the local cap — the final ``df > cap`` filter
+       is exact, not an undercount.
 
     Returns a sorted int64 array of hot shingle hashes.
     """
     cap = max(1, int(max_doc_freq * n_docs))
-    local_cap = max(1, cap // max(partition_hint, 1))
+    slim = df.select(id_col, text_col)
+    n_parts = max(slim.rdd.getNumPartitions(), 1)
+    local_cap = cap // n_parts  # STRICT > below ⇒ pigeonhole-complete
     w = shingle_size
     mv = max_value
 
-    def count_batch(batches):
+    def _partition_doc_freq(batches, keep_shingles=None):
         # one local counter per PARTITION (mapInArrow sees all batches);
         # everything stays in numpy arrays — no per-shingle Python
         vals_parts, cnts_parts = [], []
@@ -548,31 +559,57 @@ def detect_hot_shingles(
             sh, sh_doc, _ = _shingle_hashes(th, tok_doc, len(ids), w, mv)
             if not len(sh):
                 continue
+            if keep_shingles is not None:
+                m = np.isin(sh.astype(np.int64), keep_shingles)
+                sh, sh_doc = sh[m], sh_doc[m]
+                if not len(sh):
+                    continue
             # doc-frequency semantics: count each (doc, shingle) once
             key = sh_doc.astype(np.uint64) * _U(2**32) + sh  # sh < 2^31
             uniq = np.unique(key)
             vals, cnts = np.unique(uniq & _U(0xFFFFFFFF), return_counts=True)
             vals_parts.append(vals.astype(np.int64))
             cnts_parts.append(cnts.astype(np.int64))
-        if vals_parts:
-            allv = np.concatenate(vals_parts)
-            allc = np.concatenate(cnts_parts)
-            u, inv = np.unique(allv, return_inverse=True)
-            tot = np.bincount(inv, weights=allc.astype(np.float64)).astype(
-                np.int64
-            )
-            mask = tot > local_cap
-            if mask.any():
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(u[mask]), pa.array(tot[mask])],
-                    names=["shingle", "n"],
-                )
+        if not vals_parts:
+            return None, None
+        allv = np.concatenate(vals_parts)
+        allc = np.concatenate(cnts_parts)
+        u, inv = np.unique(allv, return_inverse=True)
+        tot = np.bincount(inv, weights=allc.astype(np.float64)).astype(
+            np.int64
+        )
+        return u, tot
 
-    candidates = df.select(id_col, text_col).mapInArrow(
-        count_batch, "shingle long, n long"
+    def candidate_batch(batches):
+        u, tot = _partition_doc_freq(batches)
+        if u is None:
+            return
+        mask = tot > local_cap
+        if mask.any():
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u[mask])], names=["shingle"]
+            )
+
+    cand_rows = (
+        slim.mapInArrow(candidate_batch, "shingle long")
+        .select("shingle").distinct().collect()
     )
+    cand = np.sort(np.array([r["shingle"] for r in cand_rows],
+                            dtype=np.int64))
+    if not len(cand):
+        return cand
+
+    def exact_batch(batches):
+        u, tot = _partition_doc_freq(batches, keep_shingles=cand)
+        if u is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(u), pa.array(tot)], names=["shingle", "n"]
+        )
+
     rows = (
-        candidates.groupBy("shingle")
+        slim.mapInArrow(exact_batch, "shingle long, n long")
+        .groupBy("shingle")
         .agg(F.sum("n").alias("df_count"))
         .filter(F.col("df_count") > cap)
         .collect()

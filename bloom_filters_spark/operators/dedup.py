@@ -71,8 +71,11 @@ def ngram_jaccard_pairs(
     ).filter(F.size("sh") > 0)
     # both join sides scan `prepared`; the shingle-string construction is
     # interpreted higher-order functions (the price of SQL-oracle-exact
-    # string semantics), so computing it twice doubles the query
-    prepared = prepared.persist()
+    # string semantics), so computing it twice doubles the query.
+    # localCheckpoint instead of persist: same reuse, but the blocks are
+    # GC-cleaned with the DataFrame instead of pinned in the CacheManager
+    # for the rest of the session (persist here leaked per invocation)
+    prepared = prepared.localCheckpoint(eager=True)
     a = prepared.select(
         F.col("blk"), F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
     )
@@ -96,11 +99,15 @@ def ngram_jaccard_pairs(
 
 
 def simhash_udf(w: int = 2, num_bits: int = 64):
-    """pandas UDF: token array → 64-bit SimHash (signed long).
+    """TEST-ONLY reference implementation — never use on a hot path.
 
-    Per doc: hash each w-gram to 64 bits (seeded XXH64 over the
-    xxhash64-style token hash), sum ±1 votes per bit, sign → bit.
-    Vectorized: votes accumulate via unpacked bit matrix per batch.
+    pandas UDF: token array → 64-bit SimHash (signed long).  Per doc:
+    hash each w-gram to 64 bits (seeded XXH64 over the string w-gram),
+    sum ±1 votes per bit, sign → bit.  The per-gram scalar-Python xxh64
+    loop is exactly the anti-pattern the input hint forbids at scale;
+    it exists only as an independent cross-check for ``simhash_arrow``
+    (the production kernel) in pytest.  ``simhash_table`` always routes
+    to the Arrow kernel unless explicitly asked for ``impl="udf"``.
     """
 
     @F.pandas_udf(T.LongType())

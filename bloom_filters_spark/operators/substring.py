@@ -135,10 +135,12 @@ def substring_dup_pairs(df: DataFrame, L: int = 8, id_col: str = "doc_id",
     L-token substring, with the count of distinct shared L-grams.
     Candidates come from the hashed Arrow pass; the exact string-gram
     verification runs on candidate participants only."""
-    cands = substring_candidates(df, L, id_col, text_col, max_group).persist()
-    # materialize once: the verify stage consumes cands three times (two
-    # id projections + the pair join) — without an action the cache is
-    # cold and each consumer re-runs the whole gram shuffle
+    # localCheckpoint (eager): the verify stage consumes cands three
+    # times (two id projections + the pair join) — materialize the tiny
+    # pair set once, with blocks GC-cleaned rather than session-pinned
+    cands = substring_candidates(
+        df, L, id_col, text_col, max_group
+    ).localCheckpoint(eager=True)
     n_cands = cands.count()
     ids = (
         cands.select(F.col("id1").alias(id_col))
@@ -162,7 +164,7 @@ def substring_dup_pairs(df: DataFrame, L: int = 8, id_col: str = "doc_id",
             ).alias("g"),
         )
         .filter(F.size("g") > 0)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = sets.select(F.col(id_col).alias("id1"), F.col("g").alias("g1"))
     b = sets.select(F.col(id_col).alias("id2"), F.col("g").alias("g2"))

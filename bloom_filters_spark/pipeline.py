@@ -324,7 +324,17 @@ def near_dup_pipeline(
     all_vertices = df.select(id_col)
     doc_rep = None
     if cfg.exact_prededup != "off":
-        norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+        # ASCII-only lowercase (translate A-Z), matching the Arrow
+        # kernel's byte-level token domain: with Unicode F.lower, two
+        # texts differing only in non-ASCII letter case would collapse
+        # here but shingle differently in the kernel — breaking the
+        # "cluster output is identical either way" contract
+        lowered = F.translate(
+            F.col(text_col),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+        norm = F.regexp_replace(F.trim(lowered), r"\s+", " ")
         fps = df.select(
             id_col,
             F.when(F.length(norm) > 0, F.xxhash64(norm)).alias("_fp"),

@@ -9,7 +9,12 @@ Ship the library as a zip and submit (north-rule deployment shape):
         --input  /path/to/docs.parquet \
         --output /path/to/clusters \
         [--pages] [--lang en] [--threshold 0.8] \
-        [--checkpoint-root /path/to/ckpt] [--boilerplate-max-df 0.3]
+        [--checkpoint-root /path/to/ckpt | --boilerplate-max-df 0.3]
+
+(``--checkpoint-root`` and ``--boilerplate-max-df``/``--exact-prededup
+on`` are mutually exclusive: the checkpointed signature stage has no
+hot-shingle pruning, and the job refuses the combination rather than
+silently ignoring flags.)
 
 With ``--checkpoint-root`` the run is resumable: re-submitting after a
 crash recomputes only incomplete buckets/stages (see checkpoint.py).
@@ -75,6 +80,17 @@ def main():
     if args.pages:
         clusters = pages_near_dup(df, cfg, lang=args.lang)
     elif args.checkpoint_root:
+        # the checkpointed path runs the plain signatures()/pairs stages
+        # and does not implement hot-shingle pruning or exact prededup —
+        # fail fast instead of silently ignoring the flags
+        if args.boilerplate_max_df is not None:
+            p.error("--boilerplate-max-df is not supported together with "
+                    "--checkpoint-root (the checkpointed signature stage "
+                    "has no hot-shingle pruning); drop one of the flags")
+        if args.exact_prededup == "on":
+            p.error("--exact-prededup on is not supported together with "
+                    "--checkpoint-root; drop one of the flags")
+        cfg.exact_prededup = "off"
         from bloom_filters_spark.checkpoint import (
             CheckpointConfig,
             CheckpointedNearDup,

@@ -268,6 +268,31 @@ def test_boilerplate_pruning(spark):
     assert on_pairs == {(100, 101)}, on_pairs
 
 
+def test_hot_shingle_detection_exact_across_partitions(spark):
+    """Regression: a shingle whose per-partition counts all sit BELOW
+    the pigeonhole local cap must still be detected with its EXACT
+    global document frequency (the one-pass variant summed only
+    locally-hot contributions and undercounted)."""
+    from bloom_filters_spark.operators.arrow_sig import detect_hot_shingles
+
+    hot = "omnipresent header tokens"  # one 3-shingle, df = 60
+    docs = [(i, hot + f" u{i}a u{i}b u{i}c u{i}d") for i in range(60)]
+    docs += [(100 + i, f"z{i}p z{i}q z{i}r z{i}s z{i}t") for i in range(40)]
+    # 30 partitions → the hot shingle appears ~2x per partition, while
+    # cap = 0.5*100 = 50 gives local_cap = 50//30 = 1: local counts sit
+    # right at/above the candidate bar but far below the global cap
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).repartition(30)
+    got = detect_hot_shingles(df, n_docs=100, max_doc_freq=0.5)
+    from bloom_filters_spark.operators.arrow_sig import arrow_shingle_set_py
+
+    want = arrow_shingle_set_py(hot)
+    assert set(want.tolist()) <= set(got.tolist())
+    # and nothing below the cap sneaks in: unique-content shingles df=1
+    assert len(got) == len(want)
+
+
 def test_exact_prededup_preserves_clusters(spark):
     """HLL-gated exact pre-dedup must give the same cluster assignment
     as the base pipeline: exact copies collapse to a representative
