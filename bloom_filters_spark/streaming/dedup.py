@@ -94,10 +94,16 @@ def run_incremental_near_dup(
     checkpoint_dir: str | None = None,
 ):
     """foreachBatch incremental near-dup: each micro-batch's signatures
-    are banded and joined against the accumulated signature store (then
-    appended to it), emitting pairs (new doc, any doc) — the standard
-    incremental-LSH pattern where stream state lives in a table, not in
-    executor memory.
+    are banded and joined against the accumulated BAND store (then both
+    bands and signatures are appended), emitting pairs (new doc, any
+    doc) — the standard incremental-LSH pattern where stream state
+    lives in tables, not in executor memory.
+
+    The band store is what makes this O(batch) instead of O(stream):
+    the old side is a plain parquet scan of 16-byte (band_hash, id)
+    rows, NOT a re-banding of every stored signature per micro-batch.
+    Signatures are stored too, but touched only by the (tiny) candidate
+    verification join.
 
     Returns the StreamingQuery; pairs append to ``store_dir``/pairs.
     """
@@ -107,21 +113,22 @@ def run_incremental_near_dup(
     from bloom_filters_spark.pipeline import lsh_bands, signatures
 
     sig_store = os.path.join(store_dir, "signatures")
+    band_store = os.path.join(store_dir, "bands")
     pair_store = os.path.join(store_dir, "pairs")
 
     def process_batch(batch_df, epoch_id):
         sigs = signatures(batch_df, cfg, id_col, text_col).persist()
         if sigs.take(1):
-            new_bands = lsh_bands(sigs, cfg, id_col)
+            new_bands = lsh_bands(sigs, cfg, id_col).persist()
             try:
+                old_bands = spark.read.parquet(band_store).withColumnRenamed(
+                    id_col, "id_old"
+                )
                 old_sigs = spark.read.parquet(sig_store)
                 have_store = True
             except Exception:
                 have_store = False
             if have_store:
-                old_bands = lsh_bands(old_sigs, cfg, id_col).withColumnRenamed(
-                    id_col, "id_old"
-                )
                 cands = (
                     new_bands.join(old_bands, ["band_id", "band_hash"])
                     .where(F.col(id_col) != F.col("id_old"))
@@ -155,6 +162,8 @@ def run_incremental_near_dup(
                     .select("id1", "id2", "jaccard_est")
                 )
                 joined.write.mode("append").parquet(pair_store)
+            new_bands.write.mode("append").parquet(band_store)
+            new_bands.unpersist()
             sigs.write.mode("append").parquet(sig_store)
         sigs.unpersist()
 
