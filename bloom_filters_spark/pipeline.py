@@ -102,6 +102,18 @@ class NearDupConfig:
     # pages_near_dup opts into "auto".
     exact_prededup: str = "off"
     prededup_min_rate: float = 0.05
+    # candidate-pair exchange strategy (operators/pairs.py):
+    # "grouped" — one shuffle straight to collect_list (fastest when the
+    # band exchange fits executor memory comfortably);
+    # "count_join" — pre-count band hashes and collect_list only the
+    # duplicated ones (caps per-key buffer state; the band table is
+    # consumed twice);
+    # "auto" — grouped below pair_mode_threshold input rows, count_join
+    # above (collect_list buffer state is the memory risk at corpus
+    # scale, and the second band pass amortizes once the exchange is
+    # large enough to dominate).
+    pair_mode: str = "auto"
+    pair_mode_threshold: int = 2_000_000
     cache_signatures: bool = True    # sigs feed banding AND both verify joins
 
     def __post_init__(self):
@@ -322,6 +334,18 @@ def near_dup_pipeline(
     """
     cfg = cfg or NearDupConfig()
     all_vertices = df.select(id_col)
+
+    def _pair_mode():
+        if cfg.pair_mode != "auto":
+            return cfg.pair_mode
+        # parquet row counts come from footer stats — this probe is
+        # metadata-cheap, not a scan
+        return (
+            "count_join"
+            if df.count() > cfg.pair_mode_threshold
+            else "grouped"
+        )
+
     doc_rep = None
     if cfg.exact_prededup != "off":
         # ASCII-only lowercase (translate A-Z), matching the Arrow
@@ -387,7 +411,9 @@ def near_dup_pipeline(
             cfg.shingle_size, cfg.max_value, id_col, text_col,
             hot_shingles=hot,
         )
-        candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+        candidates = candidate_pairs(
+            bands, cfg.max_band_group, id_col, mode=_pair_mode()
+        ).persist()
         n_cands = candidates.count()
         ids = (
             candidates.select(F.col("id1").alias(id_col))
@@ -420,7 +446,9 @@ def near_dup_pipeline(
         # candidates feed THREE consumers inside the verify stage (the
         # two id projections and the pair join) — without a persist the
         # whole band shuffle + pair-emit recomputes three times
-        candidates = candidate_pairs(bands, cfg.max_band_group, id_col).persist()
+        candidates = candidate_pairs(
+            bands, cfg.max_band_group, id_col, mode=_pair_mode()
+        ).persist()
     pairs = verified_pairs(candidates, sigs, cfg, id_col).persist()
     # materialize the (tiny) verified edge set once; everything upstream
     # (signatures, band shuffle) is then releasable before the iterative /

@@ -9,10 +9,12 @@ window is all zeros), NOT the standard rank (``hyperloglog.ts:95-123``).
 The estimator compensates with a factor 2: ``E = alpha·m²·2/Z``
 (``hyperloglog.ts:129-160``).
 
-Hash substitution: the reference hashes with XXH3-64
-(``hyperloglog.ts:96``); offline we use classic seeded XXH64.  The
-reference's own HLL test is hash-agnostic (statistical 3-sigma envelope,
-``tests/hyperloglog.test.ts:5-47``) and that envelope is what we assert.
+Hashing: byte-parity XXH3-64 (``hyperloglog.ts:96`` hashes with
+``@node-rs/xxhash`` ``xxh3.xxh64(element, seed)``; our ``xxh3`` module
+is validated bit-exact against libxxhash) — reference-serialized state
+(`fromJSON`) therefore probes/merges correctly.  Integer batches use
+the vectorized 8-byte XXH3 lane kernel (engine addition: the element
+domain is the value's uint64 little-endian bytes).
 
 merge = elementwise max (``hyperloglog.ts:175-189``).
 """
@@ -23,8 +25,9 @@ import math
 
 import numpy as np
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64, xxh64_u64
+from bloom_filters_spark.hashing import DEFAULT_SEED
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+from bloom_filters_spark.xxh3 import xxh3_64, xxh3_64_u64
 
 TWO_POW_32 = 2.0**32
 
@@ -89,10 +92,10 @@ class HyperLogLog(SketchBase):
             np.dtype(np.uint64),
             np.dtype(np.int64),
         ):
-            h = xxh64_u64(elements.astype(np.uint64), self.seed)
+            h = xxh3_64_u64(elements.astype(np.uint64), self.seed)
         else:
             h = np.array(
-                [xxh64(e, self.seed) for e in elements], dtype=np.uint64
+                [xxh3_64(e, self.seed) for e in elements], dtype=np.uint64
             )
         self._apply_hashes(h)
 

@@ -11,10 +11,16 @@ Semantics match the reference ``InvertibleBloomFilter``
 * ``decode`` peels pure cells (count = ±1 and genHash(idSum) == hashSum)
   → {additional, missing, success} (``:212-283``).
 
-Hash substitution: the reference uses XXH128 (``:172,189``); offline we
-derive indexes/checksums from seeded XXH64 — decode-law semantics are
-hash-agnostic (asserted by the reference's own tests,
-``tests/iblt.test.ts:124-170``).
+Hashing: byte-parity XXH3-128 exactly as the reference computes it
+(``:170-205``): ``genHash`` = first 4 bytes of ``xxh128(value,
+125).toString(16)`` hex-PAIRS read as a SIGNED int32 (the hex string is
+unpadded, so a leading zero nibble shifts every byte pair — quirk kept);
+``genIndexes`` consumes successive signed-int32 chunks of
+``xxh128(value, salt)`` for salt = 0, 1, ... with ``abs(h % size)`` and
+NO duplicate-index dedup.  Note the reference ignores the filter's own
+seed in both (fixed 125 / bare salt) — also kept.  Our ``xxh3`` module
+is validated bit-exact against libxxhash, so reference-serialized IBLT
+state (`fromJSON`) subtracts/decodes identically.
 
 In the engine, ``A.substract(B).decode()`` is the sketch-parity version
 of ``A exceptAll B`` — used for cheap checkpoint-diff tooling; the
@@ -25,8 +31,26 @@ from __future__ import annotations
 
 import math
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64
+from bloom_filters_spark.hashing import DEFAULT_SEED
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+from bloom_filters_spark.xxh3 import xxh3_128
+
+
+def _hex_digest(value: bytes, seed: int) -> bytes:
+    """digest = successive byte PAIRS of the unpadded hex string of the
+    128-bit hash (reference ``hash.match(/../g)``): an odd-length hex
+    string drops its last nibble — faithful quirk."""
+    hex_str = format(xxh3_128(value, seed), "x")
+    return bytes(
+        int(hex_str[i:i + 2], 16) for i in range(0, len(hex_str) - 1, 2)
+    )
+
+
+def _int32_at(digest: bytes, i: int) -> int:
+    """First 4 digest bytes from offset as a SIGNED 32-bit int (the
+    reference accumulates with JS ``h <<= 8; h |= b`` on int32)."""
+    v = int.from_bytes(digest[i:i + 4], "big")
+    return v - 0x100000000 if v >= 0x80000000 else v
 
 
 def xor_bytes(a: bytes, b: bytes) -> bytes:
@@ -59,24 +83,23 @@ class InvertibleBloomFilter(SketchBase):
         return cls(size, hash_count, seed)
 
     def _gen_hash(self, data: bytes) -> int:
-        # checksum hash (reference uses xxh128 seed+125 → first 4 BE bytes
-        # as signed int32; we derive from seeded xxh64)
-        h = xxh64(data, self.seed + 125)
-        v = (h >> 32) & 0xFFFFFFFF
-        return v - 0x100000000 if v >= 0x80000000 else v
+        # reference genHash (:170-181): xxh128(value, 125) hex pairs,
+        # first 4 bytes as signed int32
+        return _int32_at(_hex_digest(data, 125), 0)
 
     def _gen_indexes(self, data: bytes) -> list[int]:
-        # k distinct-ish indexes via incrementing salt (reference :170-205)
-        out = []
+        # reference genIndexes (:183-205): consume signed-int32 chunks of
+        # xxh128(value, salt) for salt = 0, 1, ...; duplicates allowed;
+        # abs(h % size) with JS trunc-mod == abs(h) % size
+        out: list[int] = []
         salt = 0
-        seen = set()
         while len(out) < self.hash_count:
-            h = xxh64(data, self.seed + salt)
-            idx = h % self.size
-            if idx not in seen:
-                seen.add(idx)
-                out.append(idx)
+            digest = _hex_digest(data, salt)
             salt += 1
+            for i in range(len(digest) // 4):
+                if len(out) >= self.hash_count:
+                    break
+                out.append(abs(_int32_at(digest, 4 * i)) % self.size)
         return out
 
     def _apply(self, element: str | bytes, delta: int):

@@ -7,11 +7,13 @@ slots ``(h >> 21*i) mod blockLength + i*blockLength``; fingerprint
 ``asUintN(bits, h ^ (h >> 32))``; build via the standard peeling
 algorithm, re-seeding from a deterministic PRNG until acyclic.
 
-Hash substitution: the reference uses XXH3-64 (``xor-filter.ts:138-140``);
-offline we use classic seeded XXH64 — the reference's own tests are
-statistical (>=0.99 TP/TN, ``tests/xor-filter.test.ts:15-43``), which is
-what we assert.  Construction is sequential by design → driver/executor-
-local; used for static deny/seen lists broadcast to a membership UDF.
+Hashing: byte-parity XXH3-64 (``xor-filter.ts:138-140`` hashes with
+``@node-rs/xxhash`` ``xxh3.xxh64(element, seed)``; our ``xxh3`` module
+is validated bit-exact against libxxhash) — a reference-serialized
+filter (`fromJSON`) probes identically here.  Construction is
+sequential by design → driver/executor-local; used for static
+deny/seen lists broadcast to a membership UDF.  Integer elements are
+an engine addition (uint64 little-endian byte domain, vectorized).
 """
 
 from __future__ import annotations
@@ -20,8 +22,9 @@ import math
 
 import numpy as np
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64, xxh64_u64
+from bloom_filters_spark.hashing import DEFAULT_SEED
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
+from bloom_filters_spark.xxh3 import xxh3_64, xxh3_64_u64
 
 HASHES = 3
 ALLOWED_BITS = (8, 16, 32, 64)
@@ -59,13 +62,13 @@ class XorFilter(SketchBase):
         if isinstance(element, (int, np.integer)):
             # same domain as the vectorized u64-lane path: the 8-byte
             # little-endian encoding of the value's uint64 view
-            return xxh64((int(element) & MASK64).to_bytes(8, "little"), seed)
-        return xxh64(element, seed)
+            return xxh3_64((int(element) & MASK64).to_bytes(8, "little"), seed)
+        return xxh3_64(element, seed)
 
     def _element_hashes(self, elements) -> list[int]:
         if _is_u64_batch(elements):
-            h = xxh64_u64(elements.astype(np.uint64, copy=False),
-                          self._build_seed)
+            h = xxh3_64_u64(elements.astype(np.uint64, copy=False),
+                            self._build_seed)
             return [int(v) for v in h]
         return [self._hash64(k, self._build_seed) for k in elements]
 
@@ -88,8 +91,8 @@ class XorFilter(SketchBase):
         if _is_u64_batch(elements):
             # fully vectorized probe: one xxh64_u64 pass + 3 gathers
             with np.errstate(over="ignore"):
-                h = xxh64_u64(elements.astype(np.uint64, copy=False),
-                              self._build_seed)
+                h = xxh3_64_u64(elements.astype(np.uint64, copy=False),
+                                self._build_seed)
                 fp = (h ^ (h >> np.uint64(32))) & np.uint64(
                     (1 << self.bits) - 1 if self.bits < 64 else MASK64
                 )
