@@ -49,6 +49,15 @@ from bloom_filters_spark.pipeline import (
 class CheckpointConfig:
     root: str
     n_buckets: int = 32
+    # storage format for every stage table: "parquet" (default, works
+    # anywhere) or "iceberg" (path-based hadoop-catalog tables on a
+    # cluster with the Iceberg runtime on the classpath — same protocol,
+    # snapshot metadata replaces the _manifest.json sidecar role for
+    # readers, though the manifest is still written for resume logic).
+    # The sandbox has no Iceberg jar, so only the parquet path is
+    # exercised by tests; the seam keeps every read/write routed through
+    # one pair of helpers.
+    table_format: str = "parquet"
 
 
 def _manifest_path(stage_dir: str) -> str:
@@ -90,6 +99,21 @@ class CheckpointedNearDup:
         self.fingerprint = config_fingerprint(cfg)
         self.counters: list[dict] = []
 
+    # -- storage seam (parquet | iceberg) ----------------------------------
+    def _write(self, df: DataFrame, path: str, partition_by: str | None = None):
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        if self.ckpt.table_format == "parquet":
+            w.parquet(path)
+        else:
+            w.format(self.ckpt.table_format).save(path)
+
+    def _read(self, path: str) -> DataFrame:
+        if self.ckpt.table_format == "parquet":
+            return self.spark.read.parquet(path)
+        return self.spark.read.format(self.ckpt.table_format).load(path)
+
     # -- stage 1: bucketed signatures -------------------------------------
     def _sig_dir(self) -> str:
         return os.path.join(self.ckpt.root, "signatures")
@@ -115,16 +139,15 @@ class CheckpointedNearDup:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            (
-                sigs.repartition(len(missing), "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(sig_dir)
+            self._write(
+                sigs.repartition(len(missing), "bucket"),
+                sig_dir,
+                partition_by="bucket",
             )
             wall_ms = int((time.time() - t0) * 1000)
             # per-bucket lineage from the just-written files
             counts = (
-                self.spark.read.parquet(sig_dir)
+                self._read(sig_dir)
                 .filter(F.col("bucket").isin(missing))
                 .groupBy("bucket")
                 .count()
@@ -151,7 +174,7 @@ class CheckpointedNearDup:
             {"stage": "signatures", "recomputed_buckets": len(missing),
              "skipped_buckets": self.ckpt.n_buckets - len(missing)}
         )
-        return self.spark.read.parquet(sig_dir).drop("bucket")
+        return self._read(sig_dir).drop("bucket")
 
     # -- stage 2: candidate + verified pairs --------------------------------
     def pairs_stage(self, sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -163,8 +186,8 @@ class CheckpointedNearDup:
                 lsh_bands(sigs, self.cfg, id_col), self.cfg.max_band_group, id_col
             )
             pairs = verified_pairs(cands, sigs, self.cfg, id_col)
-            pairs.write.mode("overwrite").parquet(pair_dir)
-            n = self.spark.read.parquet(pair_dir).count()
+            self._write(pairs, pair_dir)
+            n = self._read(pair_dir).count()
             write_manifest(
                 pair_dir,
                 {
@@ -179,7 +202,7 @@ class CheckpointedNearDup:
             self.counters.append(
                 {"stage": "pairs", "recomputed": False, "rows": man["rows"]}
             )
-        return self.spark.read.parquet(pair_dir)
+        return self._read(pair_dir)
 
     # -- stage 3: label propagation with per-iteration checkpoints ----------
     def clusters_stage(self, pairs: DataFrame, vertices: DataFrame,
@@ -189,7 +212,7 @@ class CheckpointedNearDup:
         man = read_manifest(out_dir)
         if man is not None and man.get("fingerprint") == self.fingerprint:
             self.counters.append({"stage": "clusters", "recomputed": False})
-            return self.spark.read.parquet(out_dir)
+            return self._read(out_dir)
 
         sym = pairs.select(
             F.col("id1").alias("src"), F.col("id2").alias("dst")
@@ -204,7 +227,7 @@ class CheckpointedNearDup:
             it_dir = os.path.join(root, f"labels_iter_{k}")
             m = read_manifest(it_dir)
             if m is not None and m.get("fingerprint") == self.fingerprint:
-                labels = self.spark.read.parquet(it_dir)
+                labels = self._read(it_dir)
                 start_iter = k
                 if m.get("converged"):
                     start_iter = max_iter  # nothing left to do
@@ -232,8 +255,8 @@ class CheckpointedNearDup:
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
             it_dir = os.path.join(root, f"labels_iter_{it}")
-            stepped.write.mode("overwrite").parquet(it_dir)
-            stepped = self.spark.read.parquet(it_dir)
+            self._write(stepped, it_dir)
+            stepped = self._read(it_dir)
             changed = stepped.filter(F.col("label") < F.col("old_label")).count()
             converged = changed == 0
             write_manifest(
@@ -260,13 +283,13 @@ class CheckpointedNearDup:
                 F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
             )
         )
-        out.write.mode("overwrite").parquet(out_dir)
+        self._write(out, out_dir)
         write_manifest(
             out_dir,
             {"stage": "clusters", "fingerprint": self.fingerprint,
              "iterations": it},
         )
-        return self.spark.read.parquet(out_dir)
+        return self._read(out_dir)
 
     # -- full run ------------------------------------------------------------
     def run(self, df: DataFrame, id_col: str = "doc_id",
