@@ -42,6 +42,37 @@ CHECKS = {
     "token_counts": ([r"ReadSchema: [^\n]*text"], []),
     "near_dup_clusters": ([], []),      # plan printed for inspection
     "embedding_cosine_topk": ([r"Broadcast"], []),
+    "cuckoo_prune_semijoin": (
+        [r"PushedFilters: \[.*LessThanOrEqual\(p_size"],
+        [],
+    ),
+    "counting_bloom_retract": (
+        [r"PushedFilters: \[.*GreaterThan\(p_size"],
+        [],
+    ),
+    # NOTE: the final substring plan starts from localCheckpointed RDDs
+    # (candidates/sets materialize eagerly), so the corpus scan is
+    # audited separately via EXTRA_PLANS below
+    "substring_dup_pairs": ([r"Broadcast"], [r"BatchEvalPython"]),
+    "embedding_ann_recall": ([r"Broadcast"], [r"BatchEvalPython"]),
+}
+
+
+def _substring_gram_pass(spark, sf_dir):
+    from bloom_filters_spark.operators.substring import gram_hash_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gram_hash_rows(docs, 8)
+
+
+# stage sub-plans worth auditing that final query plans hide behind
+# localCheckpoint boundaries: name -> (callable, must, must_not)
+EXTRA_PLANS = {
+    "substring_gram_pass": (
+        _substring_gram_pass,
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text"],  # corpus scan pruned to 2 cols
+        [r"BatchEvalPython"],
+    ),
 }
 
 
@@ -61,8 +92,10 @@ def main():
     qs = entry.queries()
     sections = []
     failures = []
-    for name, (must, must_not) in CHECKS.items():
-        df = qs[name](spark, sf_dir)
+    targets = [(n, qs[n], m, mn) for n, (m, mn) in CHECKS.items()]
+    targets += [(n, fn, m, mn) for n, (fn, m, mn) in EXTRA_PLANS.items()]
+    for name, fn, must, must_not in targets:
+        df = fn(spark, sf_dir)
         text = plan_text(df)
         verdicts = []
         for pat in must:
