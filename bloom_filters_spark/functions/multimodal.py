@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The Spark-side plumbing — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested; the actual media decoding is
-STUBBED (the image/audio libraries are not in this container):
+Decoding support (no external media libraries in this container, so
+everything here is stdlib + numpy):
 
-* ``decode_image`` raises ``NotImplementedError`` unless
-  ``fake_decode=True``, in which case it produces a deterministic fake
-  decode (dimensions/features derived from the payload bytes) so the
-  distributed plumbing can be exercised end-to-end.
+* **PNG** — REAL decoder: zlib inflate + full scanline unfiltering
+  (None/Sub/Up/Average/Paeth), 8-bit gray/gray+alpha/RGB/RGBA/palette,
+  non-interlaced.  A matching encoder exists for tests and fixtures.
+* **WAV** — REAL decoder: RIFF parse, PCM 8/16-bit, any channel count.
+* JPEG / video codecs — genuinely need libjpeg/ffmpeg; those paths
+  raise ``NotImplementedError`` unless ``fake_decode=True``, which
+  substitutes a deterministic payload-derived pseudo-image so the
+  distributed plumbing can still be exercised end-to-end.
 
 At 100TB scale the pattern is: keep payloads in their own parquet/
 Iceberg column chunk (never project them unless needed — column pruning
@@ -19,12 +22,16 @@ extraction as one mapInPandas pass emitting small typed features.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
@@ -61,17 +68,165 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return arr.reshape(32, 32, 3)
 
 
-def decode_image(payload: bytes, fake_decode: bool = False) -> np.ndarray:
-    """STUB: real decoding needs Pillow/libvips (not in this container).
+# ---------------------------------------------------------------------------
+# PNG (real decoder/encoder, stdlib zlib + numpy)
+# ---------------------------------------------------------------------------
 
-    The distributed call-site (schema, batching, partitioning) is real;
-    swap this function's body for ``PIL.Image.open(io.BytesIO(payload))``
-    when the dependency is available.
-    """
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter_scanline(ftype: int, line: np.ndarray, prev: np.ndarray,
+                       bpp: int) -> np.ndarray:
+    """Invert one PNG scanline filter (spec §9, filters 0-4)."""
+    if ftype == 0:
+        return line
+    if ftype == 2:  # Up
+        return line + prev
+    if ftype == 1:  # Sub: per-channel prefix sum
+        cols = line.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(-1)
+    out = np.empty_like(line)
+    n = len(line)
+    if ftype == 3:  # Average (left dependency → per-byte loop)
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (int(line[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8 array.  Supports 8-bit
+    grayscale / gray+alpha / RGB / RGBA / palette, non-interlaced —
+    the standard web-corpus PNG envelope."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, palette = 8, [], None
+    w = h = color = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8:
+                raise NotImplementedError(f"PNG bit depth {bitd} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8)
+        prev = _unfilter_scanline(raw[off], line, prev, channels)
+        out[y] = prev
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, channels]) uint8 → PNG bytes (filter 0 rows).  Used by
+    tests/fixtures; also a legitimate sink for small derived images."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (real decoder, stdlib struct + numpy)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (samples float64 in [-1, 1] shaped (n, channels),
+    sample_rate).  PCM 8-bit unsigned / 16-bit signed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if typ == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format {audio_format} (only PCM)")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits}")
+    n = len(samples) // n_channels
+    return samples[: n * n_channels].reshape(n, n_channels), rate
+
+
+def decode_image(payload: bytes, fake_decode: bool = False) -> np.ndarray:
+    """Magic-byte-routed image decode: PNG decodes for real (pure
+    stdlib/numpy); formats needing external codecs (JPEG etc.) raise
+    unless ``fake_decode=True`` substitutes the deterministic pseudo
+    decode for plumbing tests."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     if not fake_decode:
         raise NotImplementedError(
-            "image decoding requires Pillow/libvips, not available offline; "
-            "pass fake_decode=True for the deterministic test double"
+            "only PNG decodes without external libraries (JPEG needs "
+            "libjpeg/Pillow); pass fake_decode=True for the deterministic "
+            "test double"
         )
     return _fake_decode(payload)
 
@@ -79,7 +234,13 @@ def decode_image(payload: bytes, fake_decode: bool = False) -> np.ndarray:
 def _phash(img: np.ndarray) -> int:
     """Tiny perceptual-hash stand-in: sign bits of mean-centered 8x8
     grayscale blocks — deterministic, pure numpy."""
-    gray = img.mean(axis=2)
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    if gray.shape[0] < 8 or gray.shape[1] < 8:
+        gray = np.pad(
+            gray,
+            ((0, max(0, 8 - gray.shape[0])), (0, max(0, 8 - gray.shape[1]))),
+            mode="edge",
+        )
     h, w = gray.shape
     blocks = gray[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(
         axis=(1, 3)
@@ -119,6 +280,46 @@ def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataF
 
     return media.select("media_id", "payload").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, rms double, zero_crossing_rate double, peak double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """media(media_id, payload) with WAV payloads → typed audio features
+    in one mapInPandas pass (real decode, stdlib/numpy)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms", "zero_crossing_rate", "peak"]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                zc = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(n - 1, 1)
+                )
+                rows.append({
+                    "media_id": media_id,
+                    "sample_rate": rate,
+                    "n_channels": samples.shape[1],
+                    "n_samples": n,
+                    "duration_ms": int(n * 1000 / rate) if rate else 0,
+                    "rms": float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+                    "zero_crossing_rate": zc,
+                    "peak": float(np.abs(mono).max()) if n else 0.0,
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
     )
 
 

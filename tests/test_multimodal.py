@@ -1,6 +1,11 @@
-"""Multimodal plumbing tests: binary payload columns through
-mapInPandas with the deterministic fake decoder (real decoders are
-stubbed — not in this container)."""
+"""Multimodal tests: REAL PNG/WAV decoders (stdlib + numpy) plus the
+mapInPandas plumbing; the deterministic fake decoder covers formats
+that genuinely need external codecs (JPEG/video)."""
+
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pytest
@@ -8,7 +13,12 @@ from pyspark.sql import functions as F
 
 from bloom_filters_spark.functions.multimodal import (
     MEDIA_SCHEMA,
+    PNG_MAGIC,
     decode_image,
+    decode_png,
+    decode_wav,
+    encode_png,
+    extract_audio_features,
     extract_image_features,
     media_repartition,
     near_dup_images,
@@ -35,6 +45,141 @@ def media_df(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"xx")
+
+
+# ---------------------------------------------------------------------------
+# real PNG decoder
+# ---------------------------------------------------------------------------
+
+def _chunk(typ, data):
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def test_png_roundtrip_all_color_types():
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.shape == img.shape
+        assert np.array_equal(got, img)
+
+
+def _forward_filter(ftype, line, prev, bpp):
+    """Independent spec-forward filter (PNG §9) for exercising every
+    unfilter branch — written per-byte from the spec, not by inverting
+    the decoder."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def test_png_unfilters_every_filter_type():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    raw = b""
+    prev = bytes(w * c)
+    for y in range(h):
+        line = img[y].tobytes()
+        f = y % 5  # rows cycle through filters 0..4
+        raw += bytes([f]) + _forward_filter(f, line, prev, c)
+        prev = line
+    payload = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_palette():
+    palette = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+# ---------------------------------------------------------------------------
+# real WAV decoder (cross-checked against the stdlib wave writer)
+# ---------------------------------------------------------------------------
+
+def _make_wav(samples: np.ndarray, rate: int, channels: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_matches_stdlib_writer():
+    rate = 8000
+    t = np.arange(0, rate // 4)  # 250ms
+    tone = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    stereo = np.stack([tone, -tone], axis=1).reshape(-1)
+    samples, got_rate = decode_wav(_make_wav(stereo, rate, 2))
+    assert got_rate == rate
+    assert samples.shape == (rate // 4, 2)
+    assert np.allclose(samples[:, 0], tone / 32768.0)
+    assert np.allclose(samples[:, 1], -tone / 32768.0)
+
+
+def test_extract_audio_features_spark(spark):
+    rate = 8000
+    t = np.arange(0, rate // 2)
+    rows = []
+    for i, freq in enumerate((220, 880)):
+        tone = (np.sin(2 * np.pi * freq * t / rate) * 16000).astype(np.int16)
+        rows.append((i, bytearray(_make_wav(tone, rate, 1))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert feats[0]["sample_rate"] == rate
+    assert feats[0]["duration_ms"] == 500
+    assert 0.6 < feats[0]["rms"] / (16000 / 32768 / np.sqrt(2)) < 1.4
+    # higher frequency → higher zero-crossing rate
+    assert feats[1]["zero_crossing_rate"] > feats[0]["zero_crossing_rate"]
+
+
+def test_extract_image_features_real_png(spark):
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (16, 12, 3), dtype=np.uint8) for i in range(3)}
+    imgs[3] = imgs[0].copy()  # byte-identical duplicate image
+    rows = [(i, bytearray(encode_png(img))) for i, img in imgs.items()]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats_df = extract_image_features(df)
+    feats = {r["media_id"]: r for r in feats_df.collect()}
+    assert feats[0]["width"] == 12 and feats[0]["height"] == 16
+    assert np.allclose(feats[0]["channel_means"], imgs[0].mean(axis=(0, 1)))
+    assert feats[0]["phash"] == feats[3]["phash"]
+    pairs = {(r["id1"], r["id2"])
+             for r in near_dup_images(feats_df, 0).collect()}
+    assert (0, 3) in pairs
 
 
 def test_extract_image_features(spark, media_df):
