@@ -86,3 +86,22 @@ def test_config_change_invalidates(spark, docs_df, tmp_path):
     sig_counter = [c for c in cp2.metrics() if c["stage"] == "signatures"][0]
     assert sig_counter["recomputed_buckets"] == 4
     assert got == clusters_dict(near_dup_pipeline(docs_df, cfg2))
+
+
+def test_table_format_seam_generic_branch(spark, docs_df, tmp_path):
+    """The non-parquet storage branch (format(...).save/load) must
+    produce identical clusters and resume behavior — exercised with ORC
+    (bundled with Spark) standing in for Iceberg, which needs a runtime
+    jar this sandbox lacks."""
+    cfg = NearDupConfig(threshold=0.7)
+    root = str(tmp_path)
+    ck = CheckpointConfig(root, n_buckets=4, table_format="orc")
+    got = clusters_dict(CheckpointedNearDup(spark, cfg, ck).run(docs_df))
+    assert got == clusters_dict(near_dup_pipeline(docs_df, cfg))
+    # resume: second run skips every stage
+    cp2 = CheckpointedNearDup(spark, cfg, CheckpointConfig(root, n_buckets=4,
+                                                           table_format="orc"))
+    cp2.run(docs_df)
+    stages = {c["stage"]: c for c in cp2.metrics()}
+    assert stages["signatures"]["recomputed_buckets"] == 0
+    assert stages["pairs"]["recomputed"] is False
