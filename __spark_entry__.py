@@ -64,17 +64,20 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     bands=64 (r=2) so the candidate stage misses a true >=0.7-Jaccard
     pair with prob (1-j^2)^64 <= 2e-19 — the oracle comparison is
     all-pairs, so candidate recall must be ~certain, not just >=0.99."""
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
     from bloom_filters_spark.operators.pairs import candidate_pairs
-    from bloom_filters_spark.operators.shingles import (
-        shingle_strings_expr,
-        tokens_expr,
-    )
-    from bloom_filters_spark.pipeline import NearDupConfig, lsh_bands, signatures
+    from bloom_filters_spark.operators.shingles import string_shingle_sets_udf
+    from bloom_filters_spark.pipeline import NearDupConfig
 
     cfg = NearDupConfig(threshold=0.7, num_hashes=128, bands=64)
     docs = _docs(spark, sf_dir)
-    sigs = signatures(docs, cfg)
-    cands = candidate_pairs(lsh_bands(sigs, cfg), cfg.max_band_group).persist()
+    # candidates via the fused kernel (text → 16-byte band rows in one
+    # Arrow pass) — the full-corpus signature matrix never materializes
+    bands = fused_band_rows(
+        docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
+        cfg.shingle_size, cfg.max_value, "doc_id", "text",
+    )
+    cands = candidate_pairs(bands, 4096).persist()
     # string-shingle sets are interpreted HOFs (the price of DuckDB-exact
     # string semantics) — build them only for candidate participants
     ids = (
@@ -82,11 +85,12 @@ def q_near_dup_pairs_exact(spark, sf_dir):
         .unionByName(cands.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
-    sets = docs.join(ids, "doc_id", "left_semi").select(
-        "doc_id",
-        F.array_distinct(
-            shingle_strings_expr(tokens_expr(F.col("text")), cfg.shingle_size)
-        ).alias("sh"),
+    # string shingles via the Arrow-batched UDF (bit-equal to the JVM
+    # HOF chain on this corpus, ~10x faster), spread across the cluster
+    par = spark.sparkContext.defaultParallelism
+    sh_udf = string_shingle_sets_udf(cfg.shingle_size)
+    sets = docs.join(ids, "doc_id", "left_semi").repartition(par, "doc_id").select(
+        "doc_id", sh_udf(F.col("text")).alias("sh"),
     ).filter(F.size("sh") > 0).persist()
     a = sets.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     b = sets.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))

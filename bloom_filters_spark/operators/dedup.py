@@ -54,17 +54,23 @@ def ngram_jaccard_pairs(
     Returns (id1, id2, inter, n_union, jaccard) with jaccard rounded 6dp.
     """
     from bloom_filters_spark.operators.shingles import (
-        shingle_strings_expr,
+        string_shingle_sets_udf,
         tokens_expr,
     )
 
     toks = tokens_expr(F.col(text_col))
+    # string path: Arrow-batched UDF (equal to the JVM HOF chain on
+    # ASCII corpora, ~10x faster); hashed path: JVM int64 shingles
     sh = (
         shingles_expr(F.col(text_col), w)
         if hashed
-        else F.array_distinct(shingle_strings_expr(toks, w))
+        else string_shingle_sets_udf(w)(F.col(text_col))
     )
-    prepared = df.select(
+    # the shingle-set HOFs are interpreted — spread them across the
+    # cluster first (the parquet scan arrives in few partitions at
+    # bench SFs, serializing the expensive expression work)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    prepared = df.repartition(par, id_col).select(
         F.col(id_col),
         F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
         sh.alias("sh"),

@@ -13,6 +13,7 @@ driver-side parity checks can recompute shingle hashes exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -51,6 +52,49 @@ def shingles_expr(
     strs = shingle_strings_expr(tokens_expr(text, lowercase), w)
     hashed = F.transform(strs, lambda s: F.pmod(F.xxhash64(s), F.lit(max_value)))
     return F.array_distinct(hashed)
+
+
+def string_shingle_sets_udf(w: int, strict: bool = False):
+    """Arrow-batched pandas UDF: text → order-preserving-distinct w-gram
+    STRING array, semantically identical to
+    ``array_distinct(shingle_strings_expr(tokens_expr(text), w))`` but
+    ~10x faster (the JVM higher-order slice/concat chain is interpreted
+    per element).  Tokenization is ``re.split(r"\\s+", text.lower())``
+    with empties dropped — equal to the JVM and DuckDB oracles on ASCII
+    whitespace (all fixture corpora; exotic Unicode whitespace classes
+    differ between engines regardless of which side computes).  Meant
+    for candidate-participant sets, where per-doc Python cost is bounded
+    by the (rare) dup population."""
+    import re
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingle_sets(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t.lower())] if t else []
+            toks = [x for x in toks if x]
+            n = len(toks)
+            if n == 0 or (strict and n < w):
+                # strict: docs shorter than w yield NO grams (substring
+                # semantics); default pads to one short shingle (MinHash
+                # shingle semantics, same as shingle_strings_expr)
+                out.append([])
+                continue
+            seen = set()
+            arr = []
+            for i in range(max(n - w + 1, 1)):
+                s = " ".join(toks[i:i + w])
+                if s not in seen:
+                    seen.add(s)
+                    arr.append(s)
+            out.append(arr)
+        return pd.Series(out)
+
+    return shingle_sets
 
 
 def token_hashes_expr(text: Column, lowercase: bool = True) -> Column:

@@ -150,19 +150,17 @@ def substring_dup_pairs(df: DataFrame, L: int = 8, id_col: str = "doc_id",
     if n_cands < 25_000_000:
         ids = F.broadcast(ids)
     participants = df.join(ids, id_col, "left_semi")
-    # string-gram construction is interpreted higher-order functions (the
-    # price of oracle-exact string semantics): spread it across the
-    # cluster — the participant set is tiny, the per-doc work is not —
-    # and persist, because BOTH join sides consume it
+    # exact string grams via the Arrow-batched UDF (strict substring
+    # semantics: short docs emit nothing), spread across the cluster —
+    # participants only, so per-doc Python cost is bounded by the dup
+    # population; localCheckpoint because BOTH join sides consume it
+    from bloom_filters_spark.operators.shingles import string_shingle_sets_udf
+
     par = participants.sparkSession.sparkContext.defaultParallelism
+    g_udf = string_shingle_sets_udf(L, strict=True)
     sets = (
         participants.repartition(par, id_col)
-        .select(
-            id_col,
-            F.array_distinct(
-                gram_strings_expr(tokens_expr(F.col(text_col)), L)
-            ).alias("g"),
-        )
+        .select(id_col, g_udf(F.col(text_col)).alias("g"))
         .filter(F.size("g") > 0)
         .localCheckpoint(eager=True)
     )
