@@ -72,7 +72,8 @@ class CountingBloomFilter(SketchBase):
         if len(elements) == 0:
             return
         idx = self._indexes(elements).ravel()
-        np.add.at(self.counters, idx, 1)
+        # bincount beats np.add.at's random scatter (buffered C loop)
+        self.counters += np.bincount(idx, minlength=self.size)
         self.bits[idx] = 1
         self.length += len(elements)
 
@@ -92,7 +93,7 @@ class CountingBloomFilter(SketchBase):
         if len(elements) == 0:
             return
         idx = self._indexes(elements).ravel()
-        np.add.at(self.counters, idx, -1)
+        self.counters -= np.bincount(idx, minlength=self.size)
         touched = np.unique(idx)
         self.bits[touched] = np.where(
             self.counters[touched] <= 0, 0, self.bits[touched]
