@@ -317,6 +317,65 @@ def q_bloom_prune_semijoin(spark, sf_dir):
     )
 
 
+def q_partitioned_bloom_prune(spark, sf_dir):
+    """PartitionedBloom prune + exact confirm (k-slice layout,
+    partitioned-bloom-filter.ts:46-73): distributed OR-merge build over
+    a different part predicate than the plain-Bloom query."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        build_partitioned_bloom,
+        partitioned_bloom_filter_column,
+    )
+
+    part = _read(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    li = _read(spark, sf_dir, "lineitem")
+    n_keys = part.count()
+    pbf = build_partitioned_bloom(part, "p_partkey",
+                                  capacity=max(n_keys, 1024),
+                                  error_rate=1e-3)
+    pruned = partitioned_bloom_filter_column(li, "l_partkey", pbf)
+    confirmed = pruned.join(
+        part.select("p_partkey"), pruned.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        confirmed.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_scalable_bloom_new_customers(spark, sf_dir):
+    """ScalableBloom as a growing seen-list (scalable-bloom-filter.ts
+    growth semantics): customers first seen on/after 1995.  The filter
+    is built over the pre-1995 custkey feed WITHOUT knowing its
+    cardinality; late custkeys split into definitely-new (no false
+    negatives ⇒ 'not in filter' is exact) and maybe-seen, and only the
+    maybe-seen remainder pays the exact anti-join — the sketch turns a
+    full set-difference into a small residual check.  Output is the
+    exact new-customer count, so the oracle is plain SQL."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        build_scalable_bloom,
+        scalable_bloom_filter_column,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1995-01-01")).select(
+        "o_custkey"
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    sbf = build_scalable_bloom(early, "o_custkey", initial_size=1024)
+    definitely_new = scalable_bloom_filter_column(late, "o_custkey", sbf,
+                                                  keep=False)
+    maybe_seen = scalable_bloom_filter_column(late, "o_custkey", sbf,
+                                              keep=True)
+    confirmed_new = maybe_seen.join(early.distinct(), "o_custkey", "left_anti")
+    return definitely_new.unionByName(confirmed_new).agg(
+        F.count(F.lit(1)).alias("n_new_customers")
+    )
+
+
 def q_cuckoo_prune_semijoin(spark, sf_dir):
     """Cuckoo prune + exact confirm (cuckoo-filter.ts:176-339 semantics;
     same prune-then-verify shape as the Bloom query, but the filter
@@ -578,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_semijoin": q_bloom_prune_semijoin,
         "cuckoo_prune_semijoin": q_cuckoo_prune_semijoin,
         "counting_bloom_retract": q_counting_bloom_retract,
+        "partitioned_bloom_prune": q_partitioned_bloom_prune,
+        "scalable_bloom_new_customers": q_scalable_bloom_new_customers,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
         "top_suppliers_per_nation": q_top_suppliers_per_nation,
@@ -883,6 +944,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey FROM part WHERE p_size > 5 AND p_size <= 10
           )
           GROUP BY l_returnflag
+        """,
+        "partitioned_bloom_prune": """
+          SELECT l_returnflag AS returnflag, count(*) AS n_rows
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 45)
+          GROUP BY l_returnflag
+        """,
+        "scalable_bloom_new_customers": """
+          SELECT CAST(count(*) AS BIGINT) AS n_new_customers FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+          )
         """,
         "q1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,

@@ -32,6 +32,8 @@ HEADLINE = [
     "bloom_prune_semijoin",
     "cuckoo_prune_semijoin",
     "counting_bloom_retract",
+    "partitioned_bloom_prune",
+    "scalable_bloom_new_customers",
     "q1_pricing_summary",
     "q3_top_orders",
     "top_suppliers_per_nation",

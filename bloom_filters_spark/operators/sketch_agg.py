@@ -167,6 +167,76 @@ def xor_filter_column(df: DataFrame, col: str, xf, keep: bool = True) -> DataFra
     )
 
 
+def build_partitioned_bloom(df: DataFrame, col: str, capacity: int,
+                            error_rate: float, seed: int = DEFAULT_SEED):
+    """Distributed PartitionedBloom build (k slices, hash i addresses
+    slice i — partitioned-bloom-filter.ts:46-73); per-partition filters
+    OR-merge like the plain Bloom."""
+    from bloom_filters_spark.sketches.partitioned_bloom import (
+        PartitionedBloomFilter,
+    )
+
+    partials = _partition_sketches(
+        df,
+        col,
+        lambda: PartitionedBloomFilter.create(capacity, error_rate, seed=seed),
+        lambda s, vals: s.add_batch(vals),
+        as_u64=_is_integral(df, col),
+    )
+    out = _merge_partials(partials, PartitionedBloomFilter)
+    if out is None:
+        out = PartitionedBloomFilter.create(capacity, error_rate, seed=seed)
+    return out
+
+
+def partitioned_bloom_filter_column(df: DataFrame, col: str, pbf,
+                                    keep: bool = True) -> DataFrame:
+    from bloom_filters_spark.sketches.partitioned_bloom import (
+        PartitionedBloomFilter,
+    )
+
+    blob = pbf.to_bytes()
+    return _membership_prune(
+        df, col, lambda: PartitionedBloomFilter.from_bytes(blob), keep
+    )
+
+
+def build_scalable_bloom(df: DataFrame, col: str, initial_size: int = 1024,
+                         initial_error_rate: float = 1e-3,
+                         seed: int = DEFAULT_SEED):
+    """ScalableBloom build over the distinct values of a column.
+
+    Growth (push a double-size sub-filter when load >= 0.5,
+    scalable-bloom-filter.ts:107-140) depends on insertion order, so
+    there is no merge monoid — the build runs on the driver over the
+    collected distinct key set, SORTED for run-to-run determinism.
+    The structure exists for unknown-cardinality feeds (a batch engine
+    that knows n would size a plain Bloom); this builder is the
+    seen-list shape: stream keys in, let the filter grow."""
+    from bloom_filters_spark.sketches.scalable_bloom import ScalableBloomFilter
+
+    if _is_integral(df, col):
+        values = np.array(
+            sorted(int(r[0]) for r in df.select(col).distinct().collect()),
+            dtype=np.int64,
+        )
+    else:
+        values = sorted(str(r[0]) for r in df.select(col).distinct().collect())
+    sbf = ScalableBloomFilter(initial_size, initial_error_rate, seed=seed)
+    sbf.add_batch(values)
+    return sbf
+
+
+def scalable_bloom_filter_column(df: DataFrame, col: str, sbf,
+                                 keep: bool = True) -> DataFrame:
+    from bloom_filters_spark.sketches.scalable_bloom import ScalableBloomFilter
+
+    blob = sbf.to_bytes()
+    return _membership_prune(
+        df, col, lambda: ScalableBloomFilter.from_bytes(blob), keep
+    )
+
+
 def build_cuckoo(df: DataFrame, col: str, error_rate: float = 1e-3,
                  bucket_size: int = 4, seed: int = DEFAULT_SEED):
     """Cuckoo-filter build over the DISTINCT values of a column.

@@ -14,7 +14,11 @@ import math
 
 import numpy as np
 
-from bloom_filters_spark.hashing import DEFAULT_SEED, get_indexes_batch
+from bloom_filters_spark.hashing import (
+    DEFAULT_SEED,
+    get_indexes_batch,
+    get_indexes_u64,
+)
 from bloom_filters_spark.sketches.base import (
     SketchBase,
     decode_bytes,
@@ -58,6 +62,13 @@ class PartitionedBloomFilter(SketchBase):
         )
 
     def _indexes(self, elements) -> np.ndarray:
+        if isinstance(elements, np.ndarray) and elements.dtype in (
+            np.dtype(np.uint64),
+            np.dtype(np.int64),
+        ):
+            return get_indexes_u64(
+                elements.astype(np.uint64), self.m, self.k, self.seed
+            )
         return get_indexes_batch(elements, self.m, self.k, self.seed)
 
     def add(self, element):

@@ -68,7 +68,8 @@ class ScalableBloomFilter(SketchBase):
         # chunked bulk add: check the growth trigger between chunks so the
         # load stays near the reference's one-at-a-time trajectory
         chunk = 256
-        elements = list(elements)
+        if not isinstance(elements, np.ndarray):
+            elements = list(elements)  # ndarray chunks slice natively
         for i in range(0, len(elements), chunk):
             if self.current.load() >= 0.5:
                 self._add_filter()
