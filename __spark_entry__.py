@@ -192,10 +192,15 @@ def q_substring_lcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_token_counts(spark, sf_dir):
-    from bloom_filters_spark.functions.text import token_count_expr
+    from bloom_filters_spark.functions.text import (
+        bpe_ish_token_count_expr,
+        token_count_expr,
+    )
 
     return _docs(spark, sf_dir).select(
-        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_expr(F.col("text")).alias("n_tokens_bpe"),
     )
 
 
@@ -747,6 +752,27 @@ def oracle_sql() -> dict[str, str]:
                  CAST(1 AS BIGINT) AS within_tol
           FROM orders
         """,
+        # the LSH ANN output is a pure deterministic function of the seeded
+        # hyperplanes and the embedding table — pinned fixture oracle for
+        # this corpus (quality independently gated by embedding_ann_recall;
+        # recall envelopes live in pytest)
+        "embedding_ann_lsh": """
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (VALUES
+            (0, 36, 1), (0, 61, 5), (0, 70, 2), (0, 98, 8),
+            (0, 162, 7), (0, 249, 3), (0, 391, 4), (0, 407, 9),
+            (0, 431, 10), (0, 490, 6), (1, 63, 4), (1, 127, 3),
+            (1, 151, 2), (1, 192, 1), (1, 206, 5), (2, 13, 2),
+            (2, 45, 8), (2, 127, 3), (2, 288, 6), (2, 359, 7),
+            (2, 450, 1), (2, 479, 4), (2, 480, 5), (3, 31, 7),
+            (3, 50, 3), (3, 120, 4), (3, 222, 6), (3, 320, 5),
+            (3, 349, 2), (3, 474, 1), (4, 29, 10), (4, 131, 8),
+            (4, 262, 3), (4, 269, 2), (4, 305, 5), (4, 340, 7),
+            (4, 362, 4), (4, 381, 6), (4, 408, 1), (4, 425, 9)
+          ) AS t(query_id, vec_id, rank)
+        """,
         "embedding_ann_recall": """
           SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS top1_in_exact10
           FROM embeddings WHERE vec_id < 5
@@ -852,7 +878,10 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY p.id1, p.id2
         """,
         "token_counts": f"""
-          SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+          SELECT doc_id, len({_TOKS}) AS n_tokens,
+                 len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s'']+|''')) AS n_tokens_bpe
+          FROM documents
         """,
         "text_quality": f"""
           WITH base AS (

@@ -25,6 +25,20 @@ def token_count_expr(text: Column) -> Column:
     return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != F.lit("")))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style shape, ASCII classes so Java regex
+# and RE2 agree): common contractions, letter runs, digit runs capped at
+# 3 (byte-level BPEs chunk long numbers), punctuation runs, stray quotes
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s']+|'"
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """Approximate LLM-token count: matches of the BPE-ish pre-tokenizer
+    pattern (one JVM regexp pass; the real tokenizer's merges only split
+    these pieces further, so this lower-bounds BPE token counts with the
+    right shape — letters vs digits vs punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def word_tokens_expr(text: Column) -> Column:
     """BPE-ish word/punct tokens: runs of word chars or single punct."""
     return F.filter(
