@@ -2,10 +2,15 @@
 
 ``entry(spark)`` — flagship near-dup clustering on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; omitted for
-genuinely non-SQL-expressible ops (sketch estimates, LSH-approximate
-results), which fall back to the driver's rows-only check and are
-instead enveloped in pytest (SURVEY.md §5.2).
+``oracle_sql()`` — a DuckDB-runnable oracle for EVERY query.  Ops the
+oracle can't recompute from first principles use one of three honest
+shapes instead of going rows-only: (a) validation queries whose output
+the oracle CAN assert (exact count + estimate-within-tolerance flags,
+ANN-top1-in-exact-top10), (b) pinned fixtures for pure deterministic
+functions of the input (SimHash pairs, seeded-LSH ANN rankings) —
+cross-validated in pytest against brute-force oracles — or (c) plain
+SQL for the relational dual.  Statistical envelopes live in pytest
+(SURVEY.md §5.2).
 """
 
 from __future__ import annotations
