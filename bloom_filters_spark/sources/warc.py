@@ -1,0 +1,141 @@
+"""WARC ingestion: Common-Crawl-style web archives → the pages table.
+
+Real Common-Crawl corpora arrive as WARC files (ISO 28500), usually
+per-record-gzipped (`.warc.gz` with one gzip member per record).  This
+module provides a dependency-free reader:
+
+* ``parse_warc(payload)`` — parse one WARC file's bytes (plain or
+  multi-member gzip; stdlib ``gzip.decompress`` handles concatenated
+  members) into response records ``{url, warc_ts, html}``; request /
+  metadata / warcinfo records are skipped, as are non-HTTP payloads.
+* ``read_warc(spark, path)`` — distributed read: ``binaryFile`` source
+  (one task per file — WARC files are the natural parallelism unit,
+  ~1GB each in Common Crawl) → ``mapInPandas`` parse → pages-shaped
+  DataFrame ``(url, warc_ts, html, lang)`` ready for
+  ``pages_near_dup(..., text_col=None)``.
+* ``build_warc(records, gzip_members=False)`` — writer used by tests
+  and fixtures (round-trip partner of the parser).
+
+At 100TB the shape holds: the scan parallelizes per file, payload bytes
+stay in executor memory only for the duration of their batch, and the
+output feeds the same dedup pipeline as any other pages table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_OUT_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
+
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def _http_body(payload: bytes) -> bytes | None:
+    """HTTP response bytes → body (after the header block); None if the
+    payload is not an HTTP response."""
+    if not payload.startswith(b"HTTP/"):
+        return None
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        return b""
+    return payload[sep + 4:]
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC file bytes → list of {url, warc_ts, html} for response
+    records.  Accepts plain WARC or (multi-member) gzip."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.decompress(payload)
+    out: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # skip inter-record blank lines
+        while payload.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not payload.startswith(b"WARC/", pos):
+            raise ValueError(f"malformed WARC: no version line at byte {pos}")
+        hdr_end = payload.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(payload[pos:hdr_end])
+        length = int(headers.get(b"content-length", b"0"))
+        block = payload[hdr_end + 4: hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        body = _http_body(block)
+        if body is None:
+            continue
+        out.append({
+            "url": url,
+            "warc_ts": pd.to_datetime(ts_raw, utc=True, errors="coerce"),
+            "html": body,
+        })
+    return out
+
+
+def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:
+    """Distributed WARC read → pages-shaped DataFrame
+    ``(url, warc_ts, html, lang)``.  One task per file (binaryFile
+    source); parsing happens executor-side in mapInPandas."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "lang"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content)):
+                    rec["lang"] = lang
+                    rows.append(rec)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows else pd.DataFrame(columns=cols)
+            )
+
+    return files.mapInPandas(parse, PAGES_OUT_SCHEMA)
+
+
+def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
+    """records [{url, warc_ts (iso str), html (bytes), type?}] → WARC
+    bytes (per-record gzip members when ``gzip_members``, like real
+    Common-Crawl .warc.gz files)."""
+    out = io.BytesIO()
+    for rec in records:
+        body = rec.get("html", b"")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+            + body
+        )
+        rtype = rec.get("type", "response").encode()
+        block = http if rtype == b"response" else body
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype + _CRLF
+            + b"WARC-Target-URI: " + rec["url"].encode() + _CRLF
+            + b"WARC-Date: " + rec.get("warc_ts", "2026-01-01T00:00:00Z").encode() + _CRLF
+            + b"Content-Length: " + str(len(block)).encode() + _CRLF + _CRLF
+        )
+        member = hdr + block + _CRLF + _CRLF
+        out.write(gzip.compress(member) if gzip_members else member)
+    return out.getvalue()

@@ -1,0 +1,76 @@
+"""WARC ingestion: parser round-trip (plain + per-record gzip), record
+filtering, and the distributed read feeding the near-dup pipeline."""
+
+import numpy as np
+import pytest
+
+from bloom_filters_spark.sources.warc import build_warc, parse_warc, read_warc
+
+
+def _records():
+    return [
+        {"url": "https://a.example/1", "warc_ts": "2026-01-02T03:04:05Z",
+         "html": b"<html><body><p>alpha bravo charlie delta</p></body></html>"},
+        {"url": "https://a.example/1", "warc_ts": "2026-01-02T03:04:05Z",
+         "html": b"GET / HTTP/1.1", "type": "request"},     # skipped
+        {"url": "https://a.example/meta", "warc_ts": "2026-01-02T03:04:06Z",
+         "html": b"{}", "type": "metadata"},                # skipped
+        {"url": "https://b.example/2", "warc_ts": "2026-01-02T03:04:07Z",
+         "html": b"<html><body><p>echo foxtrot golf hotel</p></body></html>"},
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_parse_roundtrip(gz):
+    payload = build_warc(_records(), gzip_members=gz)
+    recs = parse_warc(payload)
+    assert [r["url"] for r in recs] == ["https://a.example/1", "https://b.example/2"]
+    assert recs[0]["html"] == _records()[0]["html"]
+    assert recs[1]["html"] == _records()[3]["html"]
+    assert str(recs[0]["warc_ts"]) == "2026-01-02 03:04:05+00:00"
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC\r\n\r\n")
+
+
+def test_read_warc_to_near_dup(spark, tmp_path):
+    """End-to-end: warc.gz files on disk → read_warc → pages_near_dup.
+    Two files; one contains a near-duplicate of a page in the other."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    mutated = base.replace("dark", "cold")
+    other = "completely different words describing another page entirely here"
+
+    def page(url, ts, text):
+        return {"url": url, "warc_ts": ts,
+                "html": f"<html><body><p>{text}</p></body></html>".encode()}
+
+    (tmp_path / "f1.warc.gz").write_bytes(build_warc(
+        [page("https://x.example/a", "2026-01-01T00:00:00Z", base),
+         page("https://x.example/b", "2026-01-01T00:00:01Z", other)],
+        gzip_members=True,
+    ))
+    (tmp_path / "f2.warc.gz").write_bytes(build_warc(
+        [page("https://y.example/c", "2026-01-01T00:00:02Z", mutated)],
+        gzip_members=True,
+    ))
+
+    pages = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 3
+    assert bytes(rows["https://x.example/a"]["html"]).startswith(b"<html>")
+
+    from bloom_filters_spark.pipeline import NearDupConfig, pages_near_dup
+
+    clusters = {
+        r["url"]: r["cluster_url"]
+        for r in pages_near_dup(
+            pages, NearDupConfig(threshold=0.6, verify="exact",
+                                 num_hashes=128, bands=64),
+            text_col=None,
+        ).collect()
+    }
+    assert clusters["https://x.example/a"] == clusters["https://y.example/c"]
+    assert clusters["https://x.example/b"] != clusters["https://x.example/a"]
