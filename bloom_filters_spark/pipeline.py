@@ -276,6 +276,7 @@ def pages_near_dup(
     url_col: str = "url",
     text_col: str | None = "text",
     lang: str | None = None,
+    extractor: str = "simple",
 ) -> DataFrame:
     """input_hint entry point: ``pages(url, warc_ts, html, text, lang)``
     → ``(url, cluster_url)`` with ``cluster_url`` shared by every page in
@@ -295,9 +296,17 @@ def pages_near_dup(
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
     if text_col is None:
-        from bloom_filters_spark.sources.pages import extract_text_expr
+        from bloom_filters_spark.sources.pages import (
+            extract_text_expr,
+            extract_text_general_expr,
+        )
 
-        pages = pages.withColumn("_text", extract_text_expr(F.col("html")))
+        extract = (
+            extract_text_general_expr
+            if extractor == "general"
+            else extract_text_expr
+        )
+        pages = pages.withColumn("_text", extract(F.col("html")))
         text_col = "_text"
     keyed = pages.select(
         F.xxhash64(F.col(url_col)).alias("_nid"),

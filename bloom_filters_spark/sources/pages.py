@@ -162,3 +162,24 @@ def extract_text_expr(html_col):
     """
     body = F.decode(html_col, "UTF-8")
     return F.regexp_extract(body, r"<p>(.*)</p>", 1)
+
+
+def extract_text_general_expr(html_col):
+    """General html binary → visible text for real-world pages (WARC
+    ingest): drop script/style/comment blocks, strip tags, decode the
+    common entities, collapse whitespace.  Entirely JVM regexp
+    expressions — codegen'd, no Python, scale-safe.  Deterministic pure
+    function of the bytes (the input_hint invariant), but NOT
+    byte-identical to ``extract_text_expr`` on the synthetic corpus —
+    use the simple extractor where parity with the fixtures matters."""
+    body = F.decode(html_col, "UTF-8")
+    no_blocks = F.regexp_replace(
+        body, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    no_comments = F.regexp_replace(no_blocks, r"(?s)<!--.*?-->", " ")
+    no_tags = F.regexp_replace(no_comments, r"<[^>]*>", " ")
+    ent = no_tags
+    for src, dst in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        ent = F.replace(ent, F.lit(src), F.lit(dst))
+    return F.trim(F.regexp_replace(ent, r"\s+", " "))

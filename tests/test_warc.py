@@ -74,3 +74,23 @@ def test_read_warc_to_near_dup(spark, tmp_path):
     }
     assert clusters["https://x.example/a"] == clusters["https://y.example/c"]
     assert clusters["https://x.example/b"] != clusters["https://x.example/a"]
+
+
+def test_general_html_extraction(spark):
+    """Real-world-ish html: scripts/styles/comments dropped, tags
+    stripped, entities decoded, whitespace collapsed."""
+    from pyspark.sql import functions as F
+
+    from bloom_filters_spark.sources.pages import extract_text_general_expr
+
+    html = (b"<html><head><title>T</title>"
+            b"<style>body { color: red }</style>"
+            b"<script type='text/js'>var x = '<p>fake</p>';</script></head>"
+            b"<body><!-- nav comment --><div class='nav'>Home &amp; About</div>"
+            b"<h1>Big   Title</h1><p>alpha &lt;3 bravo&nbsp;charlie</p>"
+            b"</body></html>")
+    df = spark.createDataFrame([(1, bytearray(html))], "id long, html binary")
+    got = df.select(
+        extract_text_general_expr(F.col("html")).alias("t")
+    ).first()["t"]
+    assert got == "T Home & About Big Title alpha <3 bravo charlie"
