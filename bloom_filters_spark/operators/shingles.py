@@ -62,8 +62,12 @@ def string_shingle_sets_udf(w: int, strict: bool = False):
     per element).  Tokenization is ``re.split(r"\\s+", text.lower())``
     with empties dropped — equal to the JVM and DuckDB oracles on ASCII
     whitespace (all fixture corpora; exotic Unicode whitespace classes
-    differ between engines regardless of which side computes).  Meant
-    for candidate-participant sets, where per-doc Python cost is bounded
+    differ between engines regardless of which side computes).  One
+    deliberate divergence: zero-token docs return ``[]`` (matching the
+    SQL oracles' ``len(t) > 0`` gate) where the JVM chain's
+    ``greatest(n-w+1, 1)`` yields one empty shingle ``['']`` — both are
+    dropped by the ``size > 0`` filters downstream.  Meant for
+    candidate-participant sets, where per-doc Python cost is bounded
     by the (rare) dup population."""
     import re
 

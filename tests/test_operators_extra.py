@@ -67,3 +67,59 @@ def test_set_reconcile_matches_except(spark):
     new = b.join(a, "k", "left_anti")
     assert {r["k"] for r in gone.collect()} == set(range(5))
     assert {r["k"] for r in new.collect()} == set(range(10, 15))
+
+
+def test_string_shingle_udf_equals_jvm_hof_chain(spark):
+    """The Arrow-batched string-shingle UDF must equal
+    array_distinct(shingle_strings_expr(tokens_expr(text), w)) —
+    the interpreted JVM chain it replaced on the oracle-query hot
+    paths — on messy inputs: empty, whitespace-only, single-token,
+    repeated-shingle, tab/newline-separated, mixed-case, and random."""
+    import random
+
+    from bloom_filters_spark.operators.shingles import (
+        shingle_strings_expr,
+        string_shingle_sets_udf,
+        tokens_expr,
+    )
+
+    rng = random.Random(17)
+    vocab = ["Alpha", "beta", "GAMMA", "d", "Ee", "ff-1", "x,y", "Z9"]
+    texts = ["", "   ", "\t\n ", "one", "one two", "a a a a a a",
+             "tab\tsep\nnewline  double  space "]
+    texts += [
+        " ".join(rng.choices(vocab, k=rng.randrange(1, 25)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    for w in (2, 3, 8):
+        jvm = F.array_distinct(
+            shingle_strings_expr(tokens_expr(F.col("text")), w)
+        )
+        got = df.select(
+            "id",
+            string_shingle_sets_udf(w)(F.col("text")).alias("u"),
+            jvm.alias("j"),
+        ).collect()
+        for r in got:
+            if texts[r["id"]].split():
+                assert r["u"] == r["j"], (w, texts[r["id"]], r["u"], r["j"])
+            else:
+                # zero-token docs: the JVM chain's greatest(n-w+1, 1)
+                # yields one EMPTY shingle ['']; the UDF returns [] —
+                # deliberate (matches the SQL oracles' len(t) > 0 gate;
+                # both are dropped by the size > 0 filters downstream)
+                assert r["u"] == [] and r["j"] == [""]
+        # strict variant: short docs emit nothing, others unchanged
+        strict = df.select(
+            "id",
+            string_shingle_sets_udf(w, strict=True)(F.col("text")).alias("s"),
+        ).collect()
+        for r, g in zip(strict, got):
+            n_toks = len(texts[r["id"]].split())
+            if n_toks < w:
+                assert r["s"] == []
+            else:
+                assert r["s"] == g["j"]
