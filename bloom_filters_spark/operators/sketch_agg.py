@@ -36,14 +36,30 @@ def _is_integral(df: DataFrame, col: str) -> bool:
     return dict(df.dtypes)[col] in _INTEGRAL_SPARK_TYPES
 
 
-def _encode_series(s: pd.Series, as_u64: bool):
-    """Column batch → sketch element batch: int64 ndarray for integral
-    Spark columns (vectorized hashing — the sketches accept u64 lanes
-    natively), list[str] otherwise."""
-    s = s.dropna()
-    if as_u64:
-        return s.to_numpy(dtype=np.int64, copy=False)
-    return [str(v) for v in s.tolist()]
+_U64_HI, _U64_LO = "__u64_hi", "__u64_lo"
+
+
+def _u64_split_cols(col: str):
+    """JVM-side exact transport for integral keys: split the bigint into
+    unsigned 32-bit halves.  Nulls in a batch make pandas promote int64
+    to float64, which silently rounds values above 2^53 — but each half
+    is < 2^32 and therefore float64-exact, so the Arrow roundtrip is
+    lossless even on null-bearing batches (the old direct int64 path
+    could hash a rounded value on the build side and the exact value on
+    the probe side, a false negative in a no-FN contract)."""
+    c = F.col(col).cast("bigint")
+    return [
+        F.shiftrightunsigned(c, 32).alias(_U64_HI),
+        c.bitwiseAND(F.lit(0xFFFFFFFF)).alias(_U64_LO),
+    ]
+
+
+def _u64_from_split(hi: pd.Series, lo: pd.Series):
+    """(notna mask, exact int64 ndarray of the non-null values)."""
+    notna = hi.notna().to_numpy()
+    hi_u = hi.to_numpy(dtype=np.float64, na_value=0.0)[notna].astype(np.uint64)
+    lo_u = lo.to_numpy(dtype=np.float64, na_value=0.0)[notna].astype(np.uint64)
+    return notna, ((hi_u << np.uint64(32)) | lo_u).view(np.int64)
 
 
 def _partition_sketches(df: DataFrame, col: str, make, add_batch,
@@ -53,7 +69,10 @@ def _partition_sketches(df: DataFrame, col: str, make, add_batch,
     def build(batches):
         sketch = None
         for pdf in batches:
-            vals = _encode_series(pdf[col], as_u64)
+            if as_u64:
+                _, vals = _u64_from_split(pdf[_U64_HI], pdf[_U64_LO])
+            else:
+                vals = [str(v) for v in pdf[col].dropna().tolist()]
             if len(vals) == 0:
                 continue
             if sketch is None:
@@ -62,7 +81,8 @@ def _partition_sketches(df: DataFrame, col: str, make, add_batch,
         if sketch is not None:
             yield pd.DataFrame({"sketch": [sketch.to_bytes()]})
 
-    return df.select(col).mapInPandas(build, "sketch binary")
+    projected = df.select(*_u64_split_cols(col)) if as_u64 else df.select(col)
+    return projected.mapInPandas(build, "sketch binary")
 
 
 def _merge_partials(partials: DataFrame, cls):
@@ -101,22 +121,32 @@ def _membership_prune(df: DataFrame, col: str, probe, keep: bool) -> DataFrame:
     as_u64 = _is_integral(df, col)
     state: dict = {}
 
-    @F.pandas_udf("boolean")
-    def member(s: pd.Series) -> pd.Series:
-        sk = state.get("sk")
-        if sk is None:
-            sk = state["sk"] = probe()
-        if as_u64:
-            notna = s.notna().to_numpy()
-            mask = np.zeros(len(s), dtype=bool)
-            if notna.any():
-                arr = s[notna].to_numpy(dtype=np.int64, copy=False)
+    if as_u64:
+        # hi/lo 32-bit halves: exact even when nulls promote the pandas
+        # batch to float64 (see _u64_split_cols) — build and probe share
+        # this element encoding unconditionally.
+        @F.pandas_udf("boolean")
+        def member(hi: pd.Series, lo: pd.Series) -> pd.Series:
+            sk = state.get("sk")
+            if sk is None:
+                sk = state["sk"] = probe()
+            notna, arr = _u64_from_split(hi, lo)
+            mask = np.zeros(len(hi), dtype=bool)
+            if len(arr):
                 mask[notna] = sk.has_batch(arr)
-        else:
-            mask = sk.has_batch([str(v) for v in s.tolist()])
-        return pd.Series(mask)
+            return pd.Series(mask)
 
-    cond = member(F.col(col))
+        cond = member(*_u64_split_cols(col))
+    else:
+        @F.pandas_udf("boolean")
+        def member(s: pd.Series) -> pd.Series:
+            sk = state.get("sk")
+            if sk is None:
+                sk = state["sk"] = probe()
+            mask = sk.has_batch([str(v) for v in s.tolist()])
+            return pd.Series(mask)
+
+        cond = member(F.col(col))
     return df.filter(cond if keep else ~cond)
 
 
@@ -132,8 +162,44 @@ def bloom_filter_column(df: DataFrame, col: str, bloom: BloomFilter,
     )
 
 
+#: Default cardinality ceiling for the driver-bound sequential builders
+#: (XOR peel / cuckoo kicks / scalable growth are order-dependent, so
+#: their construction cannot be a distributed monoid).  ~10^6 8-byte
+#: keys ≈ tens of MB of driver heap and a few seconds of sequential
+#: insert — comfortably safe; beyond it the right tool is
+#: :func:`build_bloom`, whose build IS the distributed monoid.
+DEFAULT_MAX_DRIVER_KEYS = 1_000_000
+
+
+def _collect_distinct_guarded(df: DataFrame, col: str, max_keys: int,
+                              op_name: str) -> list:
+    """Distinct keys of ``col`` streamed to the driver partition-by-
+    partition (``toLocalIterator`` — never materializes the whole column
+    in one collect buffer), aborting with a clear error the moment the
+    cardinality exceeds ``max_keys``.  This is the guard that keeps the
+    sequential sketch builders from silently OOMing the driver when
+    pointed at a high-cardinality column."""
+    out: list = []
+    for r in df.select(col).distinct().toLocalIterator(prefetchPartitions=True):
+        out.append(r[0])
+        if len(out) > max_keys:
+            raise ValueError(
+                f"{op_name}: distinct cardinality of column {col!r} exceeds "
+                f"max_keys={max_keys}. This builder constructs the sketch "
+                f"sequentially on the driver (the reference's "
+                f"peeling/kick/growth semantics are insertion-order-"
+                f"dependent), so it is intended for modest-cardinality "
+                f"deny/seen lists. For high-cardinality membership "
+                f"pruning use build_bloom/build_partitioned_bloom — their "
+                f"bitset-OR builds are fully distributed monoids. To "
+                f"proceed anyway, pass a larger max_keys explicitly."
+            )
+    return out
+
+
 def build_xor(df: DataFrame, col: str, bits_per_fingerprint: int = 8,
-              seed: int = DEFAULT_SEED):
+              seed: int = DEFAULT_SEED,
+              max_keys: int = DEFAULT_MAX_DRIVER_KEYS):
     """XOR-filter build over the DISTINCT values of a column.
 
     The peeling construction is inherently sequential
@@ -141,17 +207,16 @@ def build_xor(df: DataFrame, col: str, bits_per_fingerprint: int = 8,
     on the driver over the collected distinct key set — XOR filters are
     for *static, modest-cardinality* deny/seen lists (their win is probe
     speed + size, not build parallelism).  The distinct() dedup itself
-    is distributed.
+    is distributed, the collect is streamed, and ``max_keys`` aborts
+    early on high-cardinality columns (use :func:`build_bloom` there).
     """
     from bloom_filters_spark.sketches.xor_filter import XorFilter
 
+    raw = _collect_distinct_guarded(df, col, max_keys, "build_xor")
     if _is_integral(df, col):
-        values = np.array(
-            [r[0] for r in df.select(col).distinct().collect()],
-            dtype=np.int64,
-        )
+        values = np.array(raw, dtype=np.int64)
     else:
-        values = [str(r[0]) for r in df.select(col).distinct().collect()]
+        values = [str(v) for v in raw]
     return XorFilter.from_items(values, bits_per_fingerprint, seed=seed)
 
 
@@ -203,7 +268,8 @@ def partitioned_bloom_filter_column(df: DataFrame, col: str, pbf,
 
 def build_scalable_bloom(df: DataFrame, col: str, initial_size: int = 1024,
                          initial_error_rate: float = 1e-3,
-                         seed: int = DEFAULT_SEED):
+                         seed: int = DEFAULT_SEED,
+                         max_keys: int = DEFAULT_MAX_DRIVER_KEYS):
     """ScalableBloom build over the distinct values of a column.
 
     Growth (push a double-size sub-filter when load >= 0.5,
@@ -212,16 +278,16 @@ def build_scalable_bloom(df: DataFrame, col: str, initial_size: int = 1024,
     collected distinct key set, SORTED for run-to-run determinism.
     The structure exists for unknown-cardinality feeds (a batch engine
     that knows n would size a plain Bloom); this builder is the
-    seen-list shape: stream keys in, let the filter grow."""
+    seen-list shape: stream keys in, let the filter grow.  The collect
+    is streamed and ``max_keys``-guarded (plain Bloom is the distributed
+    fallback for high-cardinality columns)."""
     from bloom_filters_spark.sketches.scalable_bloom import ScalableBloomFilter
 
+    raw = _collect_distinct_guarded(df, col, max_keys, "build_scalable_bloom")
     if _is_integral(df, col):
-        values = np.array(
-            sorted(int(r[0]) for r in df.select(col).distinct().collect()),
-            dtype=np.int64,
-        )
+        values = np.array(sorted(int(v) for v in raw), dtype=np.int64)
     else:
-        values = sorted(str(r[0]) for r in df.select(col).distinct().collect())
+        values = sorted(str(v) for v in raw)
     sbf = ScalableBloomFilter(initial_size, initial_error_rate, seed=seed)
     sbf.add_batch(values)
     return sbf
@@ -238,7 +304,8 @@ def scalable_bloom_filter_column(df: DataFrame, col: str, sbf,
 
 
 def build_cuckoo(df: DataFrame, col: str, error_rate: float = 1e-3,
-                 bucket_size: int = 4, seed: int = DEFAULT_SEED):
+                 bucket_size: int = 4, seed: int = DEFAULT_SEED,
+                 max_keys: int = DEFAULT_MAX_DRIVER_KEYS):
     """Cuckoo-filter build over the DISTINCT values of a column.
 
     Like the XOR filter, insertion (random kicks with rollback,
@@ -256,16 +323,16 @@ def build_cuckoo(df: DataFrame, col: str, error_rate: float = 1e-3,
     to lookups (measured ~35% false negatives at the nominal 0.955
     load).  A membership pre-filter must be FN-free, so we build at low
     load (kick-free in practice), verify every key probes positive, and
-    double the table until that holds."""
+    double the table until that holds.  The collect is streamed and
+    ``max_keys``-guarded (plain Bloom is the distributed fallback for
+    high-cardinality columns)."""
     from bloom_filters_spark.sketches.cuckoo import CuckooFilter
 
+    raw = _collect_distinct_guarded(df, col, max_keys, "build_cuckoo")
     if _is_integral(df, col):
-        values = np.array(
-            sorted(int(r[0]) for r in df.select(col).distinct().collect()),
-            dtype=np.int64,
-        )
+        values = np.array(sorted(int(v) for v in raw), dtype=np.int64)
     else:
-        values = sorted(str(r[0]) for r in df.select(col).distinct().collect())
+        values = sorted(str(v) for v in raw)
     capacity = max(len(values), 1) * 4
     while True:
         ck = CuckooFilter.create(capacity, error_rate, bucket_size, seed=seed)
@@ -306,19 +373,20 @@ def build_counting_bloom(df: DataFrame, col: str, capacity: int,
     return out
 
 
-def counting_bloom_remove(cbf, df: DataFrame, col: str):
+def counting_bloom_remove(cbf, df: DataFrame, col: str,
+                          max_keys: int = DEFAULT_MAX_DRIVER_KEYS):
     """Retract a (small) key set from a counting Bloom filter.
 
-    The retraction set is collected to the driver — counting-bloom
-    retractions are for bounded churn (tombstones, takedowns).  At
-    cluster scale the same effect falls out of the merge monoid:
-    build negative partials per partition and counter-sum them in."""
+    The retraction set is streamed to the driver (``max_keys``-guarded)
+    — counting-bloom retractions are for bounded churn (tombstones,
+    takedowns).  At cluster scale the same effect falls out of the merge
+    monoid: build negative partials per partition and counter-sum them
+    in."""
+    raw = _collect_distinct_guarded(df, col, max_keys, "counting_bloom_remove")
     if _is_integral(df, col):
-        vals = np.array(
-            [r[0] for r in df.select(col).distinct().collect()], dtype=np.int64
-        )
+        vals = np.array(raw, dtype=np.int64)
     else:
-        vals = [str(r[0]) for r in df.select(col).distinct().collect()]
+        vals = [str(v) for v in raw]
     cbf.remove_batch(vals)
     return cbf
 

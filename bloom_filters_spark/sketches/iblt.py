@@ -48,8 +48,13 @@ def _hex_digest(value: bytes, seed: int) -> bytes:
 
 def _int32_at(digest: bytes, i: int) -> int:
     """First 4 digest bytes from offset as a SIGNED 32-bit int (the
-    reference accumulates with JS ``h <<= 8; h |= b`` on int32)."""
-    v = int.from_bytes(digest[i:i + 4], "big")
+    reference accumulates with JS ``h <<= 8; h |= b`` on int32).
+    A partial trailing chunk is zero-padded on the RIGHT: the JS loop
+    reads out-of-bounds ``digest[j]`` as ``undefined`` and
+    ``undefined & 0xff === 0``, so the shift still happens with a 0
+    byte (invertible-bloom-lookup-tables.ts:194-199 quirk kept)."""
+    chunk = digest[i:i + 4].ljust(4, b"\x00")
+    v = int.from_bytes(chunk, "big")
     return v - 0x100000000 if v >= 0x80000000 else v
 
 
@@ -78,8 +83,12 @@ class InvertibleBloomFilter(SketchBase):
     @classmethod
     def create(cls, d: int, alpha: float = 2.0, hash_count: int = 3,
                seed: int = DEFAULT_SEED):
+        # reference constructor (invertible-bloom-lookup-tables.ts:73-74)
+        # adds a FULL hash_count when size is already a multiple of it
+        # (no outer % hash_count) — quirk kept so substract() against a
+        # reference-built IBLT of the same d passes the size check.
         size = math.ceil(alpha * d)
-        size += (hash_count - (size % hash_count)) % hash_count
+        size += hash_count - (size % hash_count)
         return cls(size, hash_count, seed)
 
     def _gen_hash(self, data: bytes) -> int:
@@ -96,7 +105,11 @@ class InvertibleBloomFilter(SketchBase):
         while len(out) < self.hash_count:
             digest = _hex_digest(data, salt)
             salt += 1
-            for i in range(len(digest) // 4):
+            # JS loop bound is i < digest.length / 4 (a FLOAT), so a
+            # 15-byte digest yields FOUR chunks — the partial trailing
+            # chunk reads OOB bytes as 0 (see _int32_at).  ceil, not
+            # floor (invertible-bloom-lookup-tables.ts:194).
+            for i in range(-(-len(digest) // 4)):
                 if len(out) >= self.hash_count:
                     break
                 out.append(abs(_int32_at(digest, 4 * i)) % self.size)

@@ -123,3 +123,74 @@ def test_string_shingle_udf_equals_jvm_hof_chain(spark):
                 assert r["s"] == []
             else:
                 assert r["s"] == g["j"]
+
+
+def test_driver_build_max_keys_guard(spark):
+    """The driver-bound sequential builders (XOR/Cuckoo/Scalable and the
+    counting-bloom retraction) must abort with a clear error — not OOM
+    silently — when the distinct cardinality exceeds max_keys."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        build_counting_bloom,
+        build_cuckoo,
+        build_scalable_bloom,
+        build_xor,
+        counting_bloom_remove,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    for fn in (build_xor, build_cuckoo, build_scalable_bloom):
+        with pytest.raises(ValueError, match="max_keys"):
+            fn(df, "k", max_keys=10)
+    cbf = build_counting_bloom(df, "k", capacity=100, error_rate=0.01)
+    with pytest.raises(ValueError, match="max_keys"):
+        counting_bloom_remove(cbf, df, "k", max_keys=10)
+    # at or under the cap, builds succeed
+    assert build_xor(df, "k", max_keys=50) is not None
+
+
+def test_membership_exact_above_2_53_with_nulls(spark):
+    """Build batches with nulls arrive in pandas as float64; a direct
+    int64 cast rounds values above 2^53 and produced false negatives in
+    the no-FN membership contract.  The hi/lo split transport must keep
+    bigint keys exact on both build and probe sides regardless of null
+    layout."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        bloom_filter_column,
+        build_bloom,
+        build_counting_bloom,
+        build_partitioned_bloom,
+        counting_bloom_filter_column,
+        partitioned_bloom_filter_column,
+    )
+
+    # keys straddling 2^53 (float64-lossy territory) plus negatives
+    big = [2**53 + 1, 2**53 + 3, 2**62 + 5, -(2**61) - 7, 2**63 - 1]
+    small = [1, 2, 3]
+    members = big + small
+    # nulls interleaved so every build batch is float64-promoted
+    rows = [(v,) for v in members] + [(None,)] * 4
+    build_df = spark.createDataFrame(rows, "k long").repartition(1)
+    # probe side has NO nulls → would stay int64 under the old encoding
+    near_misses = [v + 1 if v < 2**63 - 1 else v - 1 for v in big]
+    probe_df = spark.createDataFrame(
+        [(v,) for v in members + near_misses], "k long"
+    )
+
+    for build, prune in [
+        (lambda d: build_bloom(d, "k", capacity=64, error_rate=1e-6),
+         bloom_filter_column),
+        (lambda d: build_partitioned_bloom(d, "k", capacity=64,
+                                           error_rate=1e-6),
+         partitioned_bloom_filter_column),
+        (lambda d: build_counting_bloom(d, "k", capacity=64,
+                                        error_rate=1e-6),
+         counting_bloom_filter_column),
+    ]:
+        sk = build(build_df)
+        kept = {r["k"] for r in prune(probe_df, "k", sk).collect()}
+        # hard no-false-negative contract on exact values
+        assert set(members) <= kept
+        # at error_rate 1e-6 the +1 neighbours must not all alias in —
+        # if the build had hashed ROUNDED values, v and v+1 would
+        # collide and every near-miss would pass
+        assert len(kept & set(near_misses)) <= 1

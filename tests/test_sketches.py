@@ -532,3 +532,56 @@ class TestIBLT:
         g = InvertibleBloomFilter.from_json(f.save_as_json())
         assert g.counts == f.counts
         assert g.id_sums == f.id_sums
+
+    def test_gen_indexes_partial_chunk_parity(self):
+        """A 31-hex-char (15-byte) digest must yield a FOURTH chunk with
+        OOB bytes read as 0 — the reference JS loop bound is
+        ``i < digest.length / 4`` (float) and ``undefined & 0xff === 0``
+        (invertible-bloom-lookup-tables.ts:194-199).  b'elem11' at salt 0
+        hashes to a 31-char hex digest; reference indexes at size=100,
+        hash_count=6 verified empirically."""
+        from bloom_filters_spark.xxh3 import xxh3_128
+
+        assert len(format(xxh3_128(b"elem11", 0), "x")) == 31
+        f = InvertibleBloomFilter(100, 6)
+        assert f._gen_indexes(b"elem11") == [0, 30, 82, 64, 13, 57]
+
+    def test_gen_indexes_js_oracle_sweep(self):
+        """Independent line-for-line transcription of the JS genIndexes
+        loop (hex pairs, float loop bound, OOB-as-zero, abs∘trunc-mod)
+        as oracle over many elements and configs incl. hash_count=6."""
+        from bloom_filters_spark.xxh3 import xxh3_128
+
+        def js_gen_indexes(value: bytes, hash_count: int, size: int):
+            indexes = []
+            salt = 0
+            while len(indexes) < hash_count:
+                hex_str = format(xxh3_128(value, salt), "x")
+                digest = [int(hex_str[i:i + 2], 16)
+                          for i in range(0, len(hex_str) - 1, 2)]
+                salt += 1
+                i = 0
+                while i < len(digest) / 4 and len(indexes) < hash_count:
+                    h = 0
+                    for j in range(i * 4, i * 4 + 4):
+                        h = (h << 8) & 0xFFFFFFFF
+                        h |= digest[j] if j < len(digest) else 0
+                    if h >= 0x80000000:
+                        h -= 0x100000000
+                    indexes.append(h)
+                    i += 1
+            return [abs(x) % size for x in indexes]
+
+        for n in range(300):
+            e = f"elem{n}".encode()
+            for hc, size in [(3, 100), (6, 102), (6, 204), (4, 91)]:
+                f = InvertibleBloomFilter(size, hc)
+                assert f._gen_indexes(e) == js_gen_indexes(e, hc, size)
+
+    def test_create_size_rounding_quirk(self):
+        """Reference adds a FULL hash_count when ceil(alpha*d) is already
+        a multiple of it (invertible-bloom-lookup-tables.ts:73-74):
+        d=3, alpha=2, k=3 → size 9, not 6."""
+        assert InvertibleBloomFilter.create(3, alpha=2.0, hash_count=3).size == 9
+        assert InvertibleBloomFilter.create(100, alpha=2.0, hash_count=3).size == 201
+        assert InvertibleBloomFilter.create(5, alpha=2.0, hash_count=6).size == 12
