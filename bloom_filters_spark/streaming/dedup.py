@@ -105,66 +105,110 @@ def run_incremental_near_dup(
     Signatures are stored too, but touched only by the (tiny) candidate
     verification join.
 
-    Returns the StreamingQuery; pairs append to ``store_dir``/pairs.
+    Candidates are the union of the new×OLD band join AND a
+    within-batch self-join over the new bands (``candidate_pairs``) —
+    two near-dups arriving in the SAME micro-batch are paired too, not
+    just across batches.
+
+    Idempotency: every store write lands in an ``epoch=<id>``
+    subdirectory with mode=overwrite, and the old-side reads filter to
+    ``epoch < current`` (a pushed-down partition filter).  A replayed
+    epoch therefore rewrites exactly its own slice — bands, signatures
+    and pairs can never duplicate or desync across failure/restart, and
+    a partially-written crashed epoch is invisible to its own replay.
+
+    Returns the StreamingQuery; pairs land under ``store_dir``/pairs.
     """
     import os
 
     from bloom_filters_spark.operators.minhash_spark import estimated_jaccard_expr
+    from bloom_filters_spark.operators.pairs import candidate_pairs
     from bloom_filters_spark.pipeline import lsh_bands, signatures
 
     sig_store = os.path.join(store_dir, "signatures")
     band_store = os.path.join(store_dir, "bands")
     pair_store = os.path.join(store_dir, "pairs")
 
+    def _epoch_dir(base: str, epoch_id: int) -> str:
+        return os.path.join(base, f"epoch={int(epoch_id)}")
+
+    def _read_prior_epochs(base: str, epoch_id: int):
+        """All rows from epochs strictly before this one (replay-safe),
+        or None if the store does not exist yet."""
+        try:
+            df = spark.read.parquet(base)
+        except Exception:
+            return None
+        return df.where(F.col("epoch") < F.lit(int(epoch_id))).drop("epoch")
+
     def process_batch(batch_df, epoch_id):
         sigs = signatures(batch_df, cfg, id_col, text_col).persist()
         if sigs.take(1):
             new_bands = lsh_bands(sigs, cfg, id_col).persist()
-            try:
-                old_bands = spark.read.parquet(band_store).withColumnRenamed(
-                    id_col, "id_old"
-                )
-                old_sigs = spark.read.parquet(sig_store)
-                have_store = True
-            except Exception:
-                have_store = False
-            if have_store:
-                cands = (
-                    new_bands.join(old_bands, ["band_id", "band_hash"])
+
+            # within-batch candidates: self-join over the new bands
+            # (hot-band star fallback included), id1 < id2
+            within = candidate_pairs(new_bands, id_col=id_col).select(
+                "id1", "id2"
+            )
+
+            old_bands = _read_prior_epochs(band_store, epoch_id)
+            old_sigs = _read_prior_epochs(sig_store, epoch_id)
+            if old_bands is not None:
+                cross = (
+                    new_bands.join(
+                        old_bands.withColumnRenamed(id_col, "id_old"),
+                        ["band_id", "band_hash"],
+                    )
                     .where(F.col(id_col) != F.col("id_old"))
                     .select(
                         F.col(id_col).alias("id1"), F.col("id_old").alias("id2")
                     )
-                    .dropDuplicates(["id1", "id2"])
                 )
-                joined = (
-                    cands.join(
-                        sigs.select(
-                            F.col(id_col).alias("id1"),
-                            F.col("signature").alias("sig1"),
-                        ),
-                        "id1",
-                    )
-                    .join(
-                        old_sigs.select(
-                            F.col(id_col).alias("id2"),
-                            F.col("signature").alias("sig2"),
-                        ),
-                        "id2",
-                    )
-                    .withColumn(
-                        "jaccard_est",
-                        estimated_jaccard_expr(
-                            F.col("sig1"), F.col("sig2"), cfg.num_hashes
-                        ),
-                    )
-                    .filter(F.col("jaccard_est") >= cfg.threshold)
-                    .select("id1", "id2", "jaccard_est")
+                cands = within.unionByName(cross)
+            else:
+                cands = within
+            cands = cands.dropDuplicates(["id1", "id2"])
+
+            # id1 is always a new doc; id2 may be new (within) or old
+            # (cross) — look its signature up in the union
+            sig_lookup = (
+                sigs if old_sigs is None else sigs.unionByName(old_sigs)
+            )
+            joined = (
+                cands.join(
+                    sigs.select(
+                        F.col(id_col).alias("id1"),
+                        F.col("signature").alias("sig1"),
+                    ),
+                    "id1",
                 )
-                joined.write.mode("append").parquet(pair_store)
-            new_bands.write.mode("append").parquet(band_store)
+                .join(
+                    sig_lookup.select(
+                        F.col(id_col).alias("id2"),
+                        F.col("signature").alias("sig2"),
+                    ),
+                    "id2",
+                )
+                .withColumn(
+                    "jaccard_est",
+                    estimated_jaccard_expr(
+                        F.col("sig1"), F.col("sig2"), cfg.num_hashes
+                    ),
+                )
+                .filter(F.col("jaccard_est") >= cfg.threshold)
+                .select("id1", "id2", "jaccard_est")
+            )
+            joined.write.mode("overwrite").parquet(
+                _epoch_dir(pair_store, epoch_id)
+            )
+            new_bands.write.mode("overwrite").parquet(
+                _epoch_dir(band_store, epoch_id)
+            )
             new_bands.unpersist()
-            sigs.write.mode("append").parquet(sig_store)
+            sigs.write.mode("overwrite").parquet(
+                _epoch_dir(sig_store, epoch_id)
+            )
         sigs.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).outputMode("update")

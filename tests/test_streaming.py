@@ -110,3 +110,90 @@ def test_incremental_near_dup_foreachbatch(spark, tmp_path):
     assert len(got) > 0
     for id1, id2 in got:
         assert abs(id1 - id2) == 1  # only planted (2k, 2k+1) pairs exist
+
+
+def test_incremental_near_dup_within_batch_pairs(spark, tmp_path):
+    """Two near-dups arriving in the SAME micro-batch must be paired —
+    the new bands self-join, not only the new×old store join."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import run_incremental_near_dup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # originals AND their near-copies all in ONE parquet drop = one batch
+    pdf = generate_pages_pdf(np.arange(0, 60), seed=11)
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+
+    static = spark.read.parquet(src + "/*")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src + "/*")
+        .select("doc_id", "text")
+    )
+    store = str(tmp_path / "store")
+    q = run_incremental_near_dup(
+        spark, stream, NearDupConfig(threshold=0.8), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = spark.read.parquet(store + "/pairs")
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert len(got) > 0  # was silently empty before the self-join fix
+    for id1, id2 in got:
+        assert abs(id1 - id2) == 1  # only planted (2k, 2k+1) pairs exist
+
+
+def test_incremental_near_dup_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying the same epochs against an existing store (fresh
+    checkpoint, same source) must overwrite per-epoch slices, not
+    append duplicates or desync bands from signatures."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import run_incremental_near_dup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf1 = generate_pages_pdf(np.arange(0, 100, 2), seed=9)
+    pdf2 = generate_pages_pdf(np.arange(1, 101, 2), seed=9)
+    spark.createDataFrame(pdf1, PAGES_SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(pdf2, PAGES_SCHEMA).coalesce(1).write.parquet(src + "/b2")
+
+    static = spark.read.parquet(src + "/*")
+    store = str(tmp_path / "store")
+    cfg = NearDupConfig(threshold=0.8)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select("doc_id", "text")
+        )
+        q = run_incremental_near_dup(spark, stream, cfg, store,
+                                     checkpoint_dir=str(tmp_path / ckpt))
+        q.processAllAvailable()
+        q.stop()
+
+    run("ckpt1")
+    first = sorted(
+        (r["id1"], r["id2"])
+        for r in spark.read.parquet(store + "/pairs").collect()
+    )
+    # replay: fresh checkpoint re-delivers the same files as epochs 0..1
+    run("ckpt2")
+    second = sorted(
+        (r["id1"], r["id2"])
+        for r in spark.read.parquet(store + "/pairs").collect()
+    )
+    assert first == second  # no duplicated pairs after replay
+    # band and signature stores also hold exactly one slice per epoch
+    bands = spark.read.parquet(store + "/bands")
+    sigs = spark.read.parquet(store + "/signatures")
+    assert bands.select("epoch").distinct().count() == 2
+    assert sigs.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
