@@ -270,6 +270,73 @@ def verified_pairs(
     return joined.filter(decision >= F.lit(cfg.threshold)).select(*out_cols)
 
 
+def _default_url_hash(col, round_: int):
+    """Round-0 keying is plain ``xxhash64(url)`` (identical ids to
+    key_mode="hash64" when no collision exists); later probe rounds mix
+    the round number in as an extra hashed column."""
+    return F.xxhash64(col) if round_ == 0 else F.xxhash64(col, F.lit(round_))
+
+
+def collision_free_url_ids(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_fn=None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Deterministic, collision-FREE url → 64-bit id map
+    ``(url, _nid)``.
+
+    Round 0 keys every distinct url with ``hash_fn(url, 0)``.  If two
+    distinct urls collide on an id, the lexicographically smallest url
+    keeps it and the others re-key with ``hash_fn(url, round)``,
+    re-checking the FULL id set each round — so a re-keyed id can never
+    silently collide with an existing one either.  Expected rounds
+    beyond the first check: ~n²/2^64 (zero in practice); each check is
+    one aggregate over (id, url) rows.  Every decision (min-url keeps,
+    round-numbered rehash) is deterministic, so the map is stable
+    across runs and resumable checkpoints.
+    """
+    hash_fn = hash_fn or _default_url_hash
+    ids = (
+        pages.select(url_col)
+        .distinct()
+        .withColumn("_nid", hash_fn(F.col(url_col), 0))
+    )
+    for round_ in range(1, max_rounds + 1):
+        dup = (
+            ids.groupBy("_nid")
+            .agg(
+                F.min(url_col).alias("_keep_url"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .filter(F.col("_n") > 1)
+            .select("_nid", "_keep_url")
+        )
+        # collisions are ~n²/2^64 of the key space — always broadcastable
+        losers = (
+            ids.join(F.broadcast(dup), "_nid")
+            .filter(F.col(url_col) != F.col("_keep_url"))
+            .select(url_col)
+        )
+        loser_urls = [r[0] for r in losers.collect()]
+        if not loser_urls:
+            return ids
+        rekeyed = (
+            pages.sparkSession.createDataFrame(
+                [(u,) for u in loser_urls], f"{url_col} string"
+            )
+            .withColumn("_nid", hash_fn(F.col(url_col), round_))
+        )
+        ids = ids.join(
+            F.broadcast(rekeyed.select(url_col)), url_col, "left_anti"
+        ).unionByName(rekeyed)
+    raise RuntimeError(
+        f"collision_free_url_ids: collisions persisted after {max_rounds} "
+        f"rehash rounds — astronomically unlikely with a real 64-bit hash; "
+        f"check the injected hash_fn"
+    )
+
+
 def pages_near_dup(
     pages: DataFrame,
     cfg: NearDupConfig | None = None,
@@ -277,6 +344,7 @@ def pages_near_dup(
     text_col: str | None = "text",
     lang: str | None = None,
     extractor: str = "simple",
+    key_mode: str = "hash64",
 ) -> DataFrame:
     """input_hint entry point: ``pages(url, warc_ts, html, text, lang)``
     → ``(url, cluster_url)`` with ``cluster_url`` shared by every page in
@@ -284,8 +352,14 @@ def pages_near_dup(
 
     * keys are urls (strings); internally each url maps to
       ``xxhash64(url)`` so the Arrow kernels and shuffles move 8-byte
-      ids, not urls (collision odds n²/2^65 — at 10^12 docs ~0.03, and a
-      collision only ever MERGES two clusters);
+      ids, not urls.  Expected 64-bit collisions ≈ n²/2^65: ~0.03 at
+      10^9 docs but ~27,000 at the advertised 10^12 — each one silently
+      merging two unrelated urls into one doc id (and hence one
+      cluster).  ``key_mode="collision_free"`` removes the leak: ids
+      come from :func:`collision_free_url_ids` (deterministic rehash
+      probing, smallest url keeps the contested id), at the cost of one
+      distinct + one verification aggregate over the url set.  The
+      default stays "hash64" — the right trade below ~10^10 docs;
     * ``text_col=None`` extracts text from ``html`` via
       ``sources.pages.extract_text_expr`` (byte-identical per url);
     * ``lang="en"`` prunes by language BEFORE any kernel — a native
@@ -308,11 +382,17 @@ def pages_near_dup(
         )
         pages = pages.withColumn("_text", extract(F.col("html")))
         text_col = "_text"
-    keyed = pages.select(
-        F.xxhash64(F.col(url_col)).alias("_nid"),
-        F.col(url_col),
-        F.col(text_col).alias("_t"),
-    )
+    if key_mode == "collision_free":
+        id_map = collision_free_url_ids(pages, url_col)
+        keyed = pages.join(id_map, url_col).select(
+            "_nid", F.col(url_col), F.col(text_col).alias("_t")
+        )
+    else:
+        keyed = pages.select(
+            F.xxhash64(F.col(url_col)).alias("_nid"),
+            F.col(url_col),
+            F.col(text_col).alias("_t"),
+        )
     clusters = near_dup_pipeline(
         keyed.select("_nid", "_t"), cfg, id_col="_nid", text_col="_t"
     )

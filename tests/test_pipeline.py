@@ -218,6 +218,80 @@ def test_pages_near_dup_url_keyed(spark):
     assert out_html == out
 
 
+def test_collision_free_url_ids_resolves_collisions(spark, monkeypatch):
+    """With a deliberately-colliding round-0 hash (mod 7), the rehash
+    probe must produce one unique deterministic id per distinct url,
+    keeping the smallest url on its contested round-0 id."""
+    import bloom_filters_spark.pipeline as P
+
+    def colliding_hash(col, round_):
+        if round_ == 0:
+            return F.pmod(F.xxhash64(col), F.lit(7))
+        return F.xxhash64(col, F.lit(round_))
+
+    urls = [f"https://ex.com/p{i}" for i in range(40)]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    ids = P.collision_free_url_ids(pages, "url", hash_fn=colliding_hash)
+    rows = {r["url"]: r["_nid"] for r in ids.collect()}
+    assert len(rows) == 40
+    assert len(set(rows.values())) == 40  # collision-free
+    # deterministic: a second run yields the same map
+    rows2 = {r["url"]: r["_nid"] for r in
+             P.collision_free_url_ids(pages, "url",
+                                      hash_fn=colliding_hash).collect()}
+    assert rows == rows2
+    # smallest url per contested round-0 id kept its id
+    import collections
+    r0 = {r["url"]: r["_nid"] for r in
+          pages.withColumn("_nid", colliding_hash(F.col("url"), 0)).collect()}
+    by_id = collections.defaultdict(list)
+    for u, h in r0.items():
+        by_id[h].append(u)
+    for h, us in by_id.items():
+        if len(us) > 1:
+            assert rows[min(us)] == h
+
+
+def test_pages_near_dup_collision_free_no_cluster_merge(spark, monkeypatch):
+    """Two urls whose 64-bit keys collide must NOT merge clusters under
+    key_mode="collision_free" (the leak the 10^12-doc analysis flags
+    for plain hash64 keying): distinct-text pages stay singletons even
+    when the round-0 hash is forced to collide."""
+    import bloom_filters_spark.pipeline as P
+    from bloom_filters_spark.sources.pages import pages_table
+
+    def colliding_hash(col, round_):
+        if round_ == 0:
+            return F.pmod(F.xxhash64(col), F.lit(5))
+        return F.xxhash64(col, F.lit(round_))
+
+    monkeypatch.setattr(P, "_default_url_hash", colliding_hash)
+    # originals only (even ids) → all texts pairwise non-duplicate
+    pages = pages_table(spark, 60, seed=7).filter(F.col("doc_id") % 2 == 0)
+    out = {r["url"]: r["cluster_url"] for r in
+           P.pages_near_dup(pages, NearDupConfig(threshold=0.9),
+                            key_mode="collision_free").collect()}
+    n = pages.count()
+    assert len(out) == n
+    # every page is its own cluster: no collision-induced merges
+    assert all(u == cu for u, cu in out.items())
+
+
+def test_pages_near_dup_collision_free_matches_default(spark):
+    """Without collisions the collision_free keying must reproduce the
+    default hash64 clustering exactly (round 0 uses the same hash)."""
+    from bloom_filters_spark.pipeline import pages_near_dup
+    from bloom_filters_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, 200, seed=7)
+    cfg = NearDupConfig(threshold=0.9)
+    base = {(r["url"], r["cluster_url"]) for r in
+            pages_near_dup(pages, cfg).collect()}
+    cf = {(r["url"], r["cluster_url"]) for r in
+          pages_near_dup(pages, cfg, key_mode="collision_free").collect()}
+    assert cf == base
+
+
 def test_recall_against_truth_pairs(spark):
     """Corpus-level recall (BASELINE target ≥0.99): pipeline pairs at
     threshold 0.8 must recover ≥99% of planted pairs whose EXACT
