@@ -44,15 +44,69 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Undo Transfer-Encoding: chunked framing (size-in-hex CRLF data
+    CRLF ... 0 CRLF); None on malformed framing.  Chunk extensions
+    (``;ext=val``) and trailer headers after the 0-chunk are ignored."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return None
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        chunk = body[start:start + size]
+        if len(chunk) < size:
+            return None
+        out += chunk
+        pos = start + size + 2  # skip the chunk-terminating CRLF
+
+
 def _http_body(payload: bytes) -> bytes | None:
-    """HTTP response bytes → body (after the header block); None if the
-    payload is not an HTTP response."""
+    """HTTP response bytes → decoded body; None if the payload is not an
+    HTTP response or its encoding cannot be undone (real Common-Crawl
+    response payloads frequently use Transfer-Encoding: chunked and/or
+    Content-Encoding: gzip — emitting the raw framed/compressed bytes
+    would feed garbage to text extraction, so undecodable records are
+    skipped explicitly instead)."""
     if not payload.startswith(b"HTTP/"):
         return None
     sep = payload.find(_CRLF + _CRLF)
     if sep < 0:
         return b""
-    return payload[sep + 4:]
+    headers = _parse_headers(payload[:sep])
+    body: bytes | None = payload[sep + 4:]
+
+    # Transfer-Encoding is the OUTER layer: de-chunk before decompressing
+    te = headers.get(b"transfer-encoding", b"").lower()
+    if b"chunked" in te:
+        body = _dechunk(body)
+        if body is None:
+            return None
+
+    ce = headers.get(b"content-encoding", b"identity").lower().strip()
+    if ce in (b"", b"identity", b"none"):
+        return body
+    try:
+        if ce in (b"gzip", b"x-gzip"):
+            return gzip.decompress(body)
+        if ce == b"deflate":
+            import zlib
+
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)  # raw-deflate servers
+    except Exception:
+        return None
+    return None  # unknown coding (br, zstd, ...): skip rather than emit garbage
 
 
 def parse_warc(payload: bytes) -> list[dict]:
@@ -122,8 +176,29 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     out = io.BytesIO()
     for rec in records:
         body = rec.get("html", b"")
+        extra = b""
+        enc = rec.get("encoding")
+        if enc == "gzip":
+            body = gzip.compress(body)
+            extra += b"Content-Encoding: gzip" + _CRLF
+        elif enc == "deflate":
+            import zlib
+
+            body = zlib.compress(body)
+            extra += b"Content-Encoding: deflate" + _CRLF
+        if rec.get("chunked"):
+            chunked = bytearray()
+            data = body
+            step = max(1, len(data) // 3) if data else 1
+            for i in range(0, len(data), step):
+                chunk = data[i:i + step]
+                chunked += format(len(chunk), "x").encode() + _CRLF
+                chunked += chunk + _CRLF
+            chunked += b"0" + _CRLF + _CRLF
+            body = bytes(chunked)
+            extra += b"Transfer-Encoding: chunked" + _CRLF
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra
             + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
             + body
         )

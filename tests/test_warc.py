@@ -94,3 +94,47 @@ def test_general_html_extraction(spark):
         extract_text_general_expr(F.col("html")).alias("t")
     ).first()["t"]
     assert got == "T Home & About Big Title alpha <3 bravo charlie"
+
+
+def test_http_body_chunked_and_compressed():
+    """Real Common-Crawl payloads use Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate — the parser must undo both (chunked
+    is the outer layer) and skip undecodable codings explicitly."""
+    from bloom_filters_spark.sources.warc import build_warc, parse_warc
+
+    html = b"<html><body>" + b"hello chunked world " * 50 + b"</body></html>"
+    recs = [
+        {"url": "http://a.example/plain", "html": html},
+        {"url": "http://a.example/chunked", "html": html, "chunked": True},
+        {"url": "http://a.example/gzip", "html": html, "encoding": "gzip"},
+        {"url": "http://a.example/gzip-chunked", "html": html,
+         "encoding": "gzip", "chunked": True},
+        {"url": "http://a.example/deflate", "html": html,
+         "encoding": "deflate"},
+    ]
+    parsed = {r["url"]: r["html"] for r in parse_warc(build_warc(recs))}
+    assert set(parsed) == {r["url"] for r in recs}
+    for url, body in parsed.items():
+        assert body == html, url
+
+
+def test_http_body_skips_unknown_or_malformed():
+    from bloom_filters_spark.sources.warc import _http_body
+
+    # unknown content coding → skipped, not emitted as garbage
+    br = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + b"\x8b\x02\x80")
+    assert _http_body(br) is None
+    # malformed chunked framing → skipped
+    bad = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+           b"zz\r\nnot-a-chunk")
+    assert _http_body(bad) is None
+    # truncated chunk → skipped
+    trunc = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             b"ff\r\nshort\r\n0\r\n\r\n")
+    assert _http_body(trunc) is None
+    # corrupt gzip → skipped
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + b"\x1f\x8bXX")
+    assert _http_body(gz) is None
+    # identity still passes through untouched
+    ok = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>"
+    assert _http_body(ok) == b"<html>x</html>"
