@@ -7,9 +7,14 @@ everything here is stdlib + numpy):
 * **PNG** — REAL decoder: zlib inflate + full scanline unfiltering
   (None/Sub/Up/Average/Paeth), 8-bit gray/gray+alpha/RGB/RGBA/palette,
   non-interlaced.  A matching encoder exists for tests and fixtures.
+* **JPEG** — REAL baseline decoder (functions/jpeg.py, from the public
+  ITU-T T.81 spec): sequential DCT, Huffman, gray/4:4:4/4:2:2/4:2:0,
+  restart markers — validated against real libjpeg-produced files.
+  Progressive raises (``use_pillow=True`` seam covers it where the
+  wheel exists).  A baseline encoder exists for fixtures.
 * **WAV** — REAL decoder: RIFF parse, PCM 8/16-bit, any channel count.
-* JPEG / video codecs — genuinely need libjpeg/ffmpeg; those paths
-  raise ``NotImplementedError`` unless ``fake_decode=True``, which
+* Video codecs — genuinely need ffmpeg; those paths raise
+  ``NotImplementedError`` unless ``fake_decode=True``, which
   substitutes a deterministic payload-derived pseudo-image so the
   distributed plumbing can still be exercised end-to-end.
 
@@ -215,18 +220,39 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples[: n * n_channels].reshape(n, n_channels), rate
 
 
-def decode_image(payload: bytes, fake_decode: bool = False) -> np.ndarray:
-    """Magic-byte-routed image decode: PNG decodes for real (pure
-    stdlib/numpy); formats needing external codecs (JPEG etc.) raise
-    unless ``fake_decode=True`` substitutes the deterministic pseudo
-    decode for plumbing tests."""
+def decode_image(payload: bytes, fake_decode: bool = False,
+                 use_pillow: bool = False) -> np.ndarray:
+    """Magic-byte-routed image decode: PNG and baseline JPEG decode for
+    real (pure stdlib/numpy — see functions/jpeg.py for the JPEG
+    envelope; progressive JPEG raises ``NotImplementedError``).  Other
+    formats (webp, gif, ...) raise unless ``fake_decode=True``
+    substitutes the deterministic pseudo decode for plumbing tests.
+
+    ``use_pillow=True`` prefers Pillow when the wheel is importable
+    (covers progressive JPEG/webp/gif and is faster); silently falls
+    back to the built-in decoders when it is not — the seam for
+    clusters where the native wheel exists."""
+    if use_pillow:
+        try:
+            import io
+
+            from PIL import Image  # optional dependency seam
+
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except ImportError:
+            pass
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from bloom_filters_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake_decode:
         raise NotImplementedError(
-            "only PNG decodes without external libraries (JPEG needs "
-            "libjpeg/Pillow); pass fake_decode=True for the deterministic "
-            "test double"
+            "only PNG and baseline JPEG decode without external libraries "
+            "(webp/gif/progressive-JPEG need Pillow — pass "
+            "use_pillow=True where the wheel exists); pass "
+            "fake_decode=True for the deterministic test double"
         )
     return _fake_decode(payload)
 

@@ -223,3 +223,118 @@ def test_media_repartition_sizes(spark, media_df):
     # ~4KB * 43 rows = ~190KB → ceil(190/50)+... at least 3 partitions
     assert out.rdd.getNumPartitions() >= 3
     assert out.count() == media_df.count()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py) — baseline codec from the public T.81 spec
+# ---------------------------------------------------------------------------
+
+# Two tiny public test JPEGs (from the IPython and CPython test suites)
+# pinned as byte fixtures: real libjpeg-produced files covering the
+# grayscale and 4:2:0-subsampled decode paths independently of our own
+# encoder.
+_JPEG_GRAY_2X2_B64 = (
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+    "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+    "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+    "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+    "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+    "AAA/ACv/2Q=="
+)
+_JPEG_LOGO_420_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+
+def test_decode_jpeg_real_gray_fixture():
+    """Real libjpeg-produced 2x2 grayscale baseline file → pinned
+    pixels (uniform mid-gray)."""
+    import base64
+    import hashlib
+
+    from bloom_filters_spark.functions.jpeg import decode_jpeg
+
+    img = decode_jpeg(base64.b64decode(_JPEG_GRAY_2X2_B64))
+    assert img.shape == (2, 2)
+    assert hashlib.sha256(img.tobytes()).hexdigest() == (
+        "8d65a89d33fc69d31f85fd8ed396d6dd5672cd59f80bd2ced560d4bbaeb43222"
+    )
+    assert img.tolist() == [[128, 128], [128, 128]]
+
+
+def test_decode_jpeg_real_420_fixture():
+    """Real libjpeg-produced 16x16 4:2:0 color file (CPython test
+    suite's python.jpg logo) → pinned decode checksum; channel means
+    sanity-checked (blue+yellow logo)."""
+    import base64
+    import hashlib
+
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import decode_jpeg
+
+    img = decode_jpeg(base64.b64decode(_JPEG_LOGO_420_B64))
+    assert img.shape == (16, 16, 3)
+    assert hashlib.sha256(img.tobytes()).hexdigest() == (
+        "90fd671798cd956be18607fbb27667821a3dfd142d87a4df46721f4df5ae6e82"
+    )
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(means, [97.539, 101.848, 75.934], atol=0.01)
+
+
+def test_jpeg_roundtrip_psnr_all_paths():
+    """Encoder→decoder round trip across subsampling x restart-interval
+    combinations: high PSNR and exact determinism."""
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:45, 0:61]
+    img = np.stack([
+        (xx * 3 + yy) % 256,
+        128 + 100 * np.sin(xx / 9.0),
+        (255 - yy * 2) % 256,
+    ], axis=-1).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+    for sub, floor in (("444", 42.0), ("420", 36.0)):
+        for rst in (0, 2, 5):
+            enc = encode_jpeg(img, quality=92, subsampling=sub,
+                              restart_interval=rst)
+            dec = decode_jpeg(enc)
+            assert dec.shape == img.shape
+            assert psnr(img, dec) > floor, (sub, rst)
+            assert decode_jpeg(enc).tobytes() == dec.tobytes()  # determinism
+    gray = ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+    encg = encode_jpeg(gray, quality=90, restart_interval=3)
+    assert psnr(gray, decode_jpeg(encg)) > 45.0
+
+
+def test_decode_image_routes_jpeg():
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import encode_jpeg
+    from bloom_filters_spark.functions.multimodal import decode_image
+
+    img = (np.mgrid[0:16, 0:24][0] * 10 % 256).astype(np.uint8)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (16, 24)
+    # progressive rejected honestly (minimal SOF2 header)
+    import pytest as _pytest
+
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_image(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00\xff\xd9")
