@@ -1,0 +1,84 @@
+"""Deterministic media fixture table: the multimodal analogue of
+``sources.pages`` — real encoded PNG/JPEG payloads with planted
+near-duplicate pairs, reproducible bit-for-bit from a seed.
+
+Used by the driver-contract media queries (pinned-fixture oracle shape:
+the decoded features are a pure deterministic function of the payload
+bytes, which are a pure function of the seed) and by pytest, which
+cross-validates the features against the SOURCE pixel arrays (for PNG
+the codec is lossless, so channel means/phash must match the source
+exactly — a check that is independent of the decoder implementation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from bloom_filters_spark.functions.jpeg import encode_jpeg
+from bloom_filters_spark.functions.multimodal import encode_png
+
+MEDIA_TABLE_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "width int, height int"
+)
+
+
+def _source_arrays(n: int, seed: int, size: int):
+    """Yield (media_id, pixel array, mime): even ids are originals, odd
+    ids near-copies of ``id-1`` (a handful of perturbed pixels —
+    phash-close but not byte-identical).  Every third row will encode
+    as baseline JPEG, the rest as PNG."""
+    for i in range(n):
+        rng = np.random.default_rng(seed + (i // 2))
+        yy, xx = np.mgrid[0:size, 0:size]
+        base = np.stack([
+            (xx * rng.integers(2, 9) + yy * rng.integers(1, 5)) % 256,
+            (128 + 110 * np.sin(xx / rng.uniform(4, 12))) % 256,
+            rng.integers(0, 256, (size, size)),
+        ], axis=-1).astype(np.uint8)
+        # low-pass the noise channel so JPEG stays faithful
+        base[:, :, 2] = (
+            base[:, :, 2].astype(np.int32) // 4 * 4
+        ).astype(np.uint8)
+        img = base
+        if i % 2 == 1:  # near-copy: perturb a few pixels
+            img = base.copy()
+            pert = np.random.default_rng(seed * 7 + i)
+            for _ in range(6):
+                y, x = pert.integers(0, size, 2)
+                img[y, x] = pert.integers(0, 256, 3)
+        yield i, img, ("image/jpeg" if i % 3 == 2 else "image/png")
+
+
+def generate_media_pdf(n: int = 48, seed: int = 13,
+                       size: int = 32) -> pd.DataFrame:
+    rows = []
+    for i, img, mime in _source_arrays(n, seed, size):
+        payload = (
+            encode_jpeg(img, quality=92)
+            if mime == "image/jpeg" else encode_png(img)
+        )
+        rows.append({
+            "media_id": i,
+            "kind": "image",
+            "mime": mime,
+            "payload": payload,
+            "width": size,
+            "height": size,
+        })
+    return pd.DataFrame(rows)
+
+
+def media_table(spark: SparkSession, n: int = 48, seed: int = 13,
+                size: int = 32) -> DataFrame:
+    return spark.createDataFrame(generate_media_pdf(n, seed, size),
+                                 MEDIA_TABLE_SCHEMA)
+
+
+def source_images(n: int = 48, seed: int = 13, size: int = 32):
+    """The PRE-ENCODE pixel arrays, keyed by media_id — the independent
+    ground truth pytest validates decoded features against (never goes
+    through the decoders)."""
+    return {i: img for i, img, _ in _source_arrays(n, seed, size)}

@@ -338,3 +338,41 @@ def test_decode_image_routes_jpeg():
 
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00\xff\xd9")
+
+
+def test_media_fixture_features_match_source_arrays(spark):
+    """The driver media queries' pinned oracle is trustworthy only if
+    decoded features equal the PRE-ENCODE ground truth: for PNG rows
+    the codec is lossless, so channel means and phash must match the
+    source arrays exactly (a check independent of the decoders); JPEG
+    rows must be close.  Also pins the planted-pair structure the
+    media_phash_dups oracle encodes."""
+    import numpy as np
+
+    from bloom_filters_spark.functions.multimodal import (
+        _phash,
+        extract_image_features,
+        near_dup_images,
+    )
+    from bloom_filters_spark.sources.media import media_table, source_images
+
+    media = media_table(spark)
+    src = source_images()
+    feats = {r["media_id"]: r for r in
+             extract_image_features(media).collect()}
+    mimes = {r["media_id"]: r["mime"] for r in
+             media.select("media_id", "mime").collect()}
+    assert set(feats) == set(src)
+    for mid, img in src.items():
+        got = feats[mid]
+        want_means = img.mean(axis=(0, 1))
+        if mimes[mid] == "image/png":
+            assert np.allclose(got["channel_means"], want_means, atol=1e-12)
+            assert got["phash"] == _phash(img)
+        else:  # baseline JPEG: lossy but close
+            assert np.allclose(got["channel_means"], want_means, atol=2.0)
+    pairs = {(r["id1"], r["id2"]) for r in
+             near_dup_images(
+                 extract_image_features(media), max_hamming=2
+             ).collect()}
+    assert pairs == {(i, i + 1) for i in range(0, 48, 2)}
