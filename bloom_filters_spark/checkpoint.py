@@ -45,19 +45,26 @@ from bloom_filters_spark.pipeline import (
 )
 
 
+#: spark.conf key that sets the default checkpoint table format for
+#: every CheckpointedNearDup run in the session.
+FORMAT_CONF_KEY = "spark.bloomFiltersSpark.checkpoint.format"
+
+
 @dataclass
 class CheckpointConfig:
     root: str
     n_buckets: int = 32
-    # storage format for every stage table: "parquet" (default, works
-    # anywhere) or "iceberg" (path-based hadoop-catalog tables on a
-    # cluster with the Iceberg runtime on the classpath — same protocol,
-    # snapshot metadata replaces the _manifest.json sidecar role for
-    # readers, though the manifest is still written for resume logic).
-    # The sandbox has no Iceberg jar, so only the parquet path is
-    # exercised by tests; the seam keeps every read/write routed through
-    # one pair of helpers.
-    table_format: str = "parquet"
+    # storage format for every stage table: "parquet" (works anywhere)
+    # or any DataSource name on the classpath — "iceberg" (path-based
+    # hadoop-catalog tables on a cluster with the Iceberg runtime; same
+    # protocol, snapshot metadata replaces the _manifest.json sidecar
+    # role for readers, though the manifest is still written for resume
+    # logic), "orc", etc.  None (default) resolves from the session conf
+    # FORMAT_CONF_KEY, falling back to parquet — so a cluster deployment
+    # flips every checkpoint to Iceberg with one --conf and zero code
+    # changes.  The sandbox has no Iceberg jar; the dispatch itself is
+    # unit-tested end-to-end through the built-in orc source.
+    table_format: str | None = None
 
 
 def _manifest_path(stage_dir: str) -> str:
@@ -96,23 +103,28 @@ class CheckpointedNearDup:
         self.spark = spark
         self.cfg = cfg
         self.ckpt = ckpt
+        self.table_format = (
+            ckpt.table_format
+            if ckpt.table_format is not None
+            else spark.conf.get(FORMAT_CONF_KEY, "parquet")
+        )
         self.fingerprint = config_fingerprint(cfg)
         self.counters: list[dict] = []
 
-    # -- storage seam (parquet | iceberg) ----------------------------------
+    # -- storage seam (parquet | iceberg | any DataSource) ------------------
     def _write(self, df: DataFrame, path: str, partition_by: str | None = None):
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
-        if self.ckpt.table_format == "parquet":
+        if self.table_format == "parquet":
             w.parquet(path)
         else:
-            w.format(self.ckpt.table_format).save(path)
+            w.format(self.table_format).save(path)
 
     def _read(self, path: str) -> DataFrame:
-        if self.ckpt.table_format == "parquet":
+        if self.table_format == "parquet":
             return self.spark.read.parquet(path)
-        return self.spark.read.format(self.ckpt.table_format).load(path)
+        return self.spark.read.format(self.table_format).load(path)
 
     # -- stage 1: bucketed signatures -------------------------------------
     def _sig_dir(self) -> str:

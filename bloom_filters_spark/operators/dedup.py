@@ -1,18 +1,17 @@
 """Deduplication operators beyond MinHash-LSH: exact, SimHash, n-gram
 Jaccard — the standard large-scale training-data dedup toolbox.
 
-Exact and n-gram paths are pure built-ins; SimHash uses one Arrow-
-batched pandas UDF (bit-vote aggregation is not expressible as a cheap
-SQL fold at 64 bits).
+Exact and n-gram paths are pure built-ins; SimHash is one ``mapInArrow``
+kernel (bit-vote aggregation is not expressible as a cheap SQL fold at
+64 bits) with a scalar pure-Python oracle (``simhash_py``) for pytest —
+no per-row Python remains on any path.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from bloom_filters_spark.functions.text import doc_fingerprint_expr
 from bloom_filters_spark.hashing import xxh64_u64
@@ -104,40 +103,42 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_udf(w: int = 2, num_bits: int = 64):
-    """TEST-ONLY reference implementation — never use on a hot path.
+def simhash_py(text: str, w: int = 2) -> int:
+    """Pure-Python scalar oracle for ``simhash_arrow`` — recomputes the
+    identical semantics (lowered byte tokens → token hashes → rolling
+    Horner w-grams → splitmix64 avalanche → distinct grams → ±1 bit
+    votes) from first principles with no shared vectorized code.  Used
+    by pytest only; the Arrow kernel is the one production path."""
+    from bloom_filters_spark.operators.arrow_sig import (
+        arrow_tokens_py,
+        token_hash_py,
+    )
+    from bloom_filters_spark.operators.shingles import ROLL_PRIME
 
-    pandas UDF: token array → 64-bit SimHash (signed long).  Per doc:
-    hash each w-gram to 64 bits (seeded XXH64 over the string w-gram),
-    sum ±1 votes per bit, sign → bit.  The per-gram scalar-Python xxh64
-    loop is exactly the anti-pattern the input hint forbids at scale;
-    it exists only as an independent cross-check for ``simhash_arrow``
-    (the production kernel) in pytest.  ``simhash_table`` always routes
-    to the Arrow kernel unless explicitly asked for ``impl="udf"``.
-    """
-
-    @F.pandas_udf(T.LongType())
-    def simhash(tokens: pd.Series) -> pd.Series:
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue
-            grams = [" ".join(toks[j : j + w]) for j in range(max(len(toks) - w + 1, 1))]
-            # hash grams: python-side xxh64 per unique gram
-            from bloom_filters_spark.hashing import xxh64
-
-            hs = np.array([xxh64(g, 0) for g in set(grams)], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(num_bits):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return simhash
+    M64 = (1 << 64) - 1
+    toks = arrow_tokens_py(text)
+    n = len(toks)
+    if n == 0:
+        return 0
+    th = [token_hash_py(t) for t in toks]
+    eff = min(n, w)
+    grams = set()
+    for i in range(n - eff + 1):
+        acc = 0
+        for j in range(eff):
+            acc = (acc * ROLL_PRIME + th[i + j]) & M64
+        acc ^= acc >> 30
+        acc = (acc * 0xBF58476D1CE4E5B9) & M64
+        acc ^= acc >> 27
+        acc = (acc * 0x94D049BB133111EB) & M64
+        acc ^= acc >> 31
+        grams.add(acc)
+    sig = 0
+    for b in range(64):
+        votes = sum(1 if (g >> b) & 1 else -1 for g in grams)
+        if votes > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
 def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
@@ -151,8 +152,8 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
     64 bits; sign of the vote total forms the signature bit (standard
     Charikar SimHash).  Gram identity comes from the rolling Horner
     combine over token hashes (same domain as the near-dup shingles),
-    so values differ from ``simhash_udf``'s string-gram variant but the
-    Hamming-distance semantics are identical.
+    and ``simhash_py`` recomputes the identical semantics scalar-wise
+    as the pytest oracle.
     """
     import pyarrow as pa
 
@@ -243,12 +244,8 @@ def simhash_arrow(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", w: int = 2,
-                  impl: str = "arrow") -> DataFrame:
-    if impl == "arrow":
-        return simhash_arrow(df, id_col, text_col, w)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
-    return df.select(F.col(id_col), simhash_udf(w)(toks).alias("simhash"))
+                  text_col: str = "text", w: int = 2) -> DataFrame:
+    return simhash_arrow(df, id_col, text_col, w)
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,

@@ -105,3 +105,36 @@ def test_table_format_seam_generic_branch(spark, docs_df, tmp_path):
     stages = {c["stage"]: c for c in cp2.metrics()}
     assert stages["signatures"]["recomputed_buckets"] == 0
     assert stages["pairs"]["recomputed"] is False
+
+
+def test_table_format_resolves_from_session_conf(spark, docs_df, tmp_path):
+    """table_format=None must resolve from the session conf key — the
+    one-flag cluster deployment path (--conf ...checkpoint.format=iceberg
+    flips every checkpoint table with zero code changes)."""
+    from bloom_filters_spark.checkpoint import FORMAT_CONF_KEY
+
+    root = str(tmp_path)
+    spark.conf.set(FORMAT_CONF_KEY, "orc")
+    try:
+        cp = CheckpointedNearDup(
+            spark, NearDupConfig(threshold=0.7), CheckpointConfig(root, n_buckets=4)
+        )
+        assert cp.table_format == "orc"
+        got = clusters_dict(cp.run(docs_df))
+    finally:
+        spark.conf.unset(FORMAT_CONF_KEY)
+    assert got == clusters_dict(
+        near_dup_pipeline(docs_df, NearDupConfig(threshold=0.7))
+    )
+    # the stage tables were actually written as ORC, not parquet
+    sig_dir = os.path.join(root, "signatures")
+    bucket0 = [d for d in os.listdir(sig_dir) if d.startswith("bucket=")][0]
+    files = os.listdir(os.path.join(sig_dir, bucket0))
+    assert any(f.endswith(".orc") for f in files), files
+    assert not any(f.endswith(".parquet") for f in files), files
+    # default (no conf, no explicit format) stays parquet
+    cp2 = CheckpointedNearDup(
+        spark, NearDupConfig(threshold=0.7),
+        CheckpointConfig(str(tmp_path) + "_p", n_buckets=4),
+    )
+    assert cp2.table_format == "parquet"

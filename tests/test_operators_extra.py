@@ -194,3 +194,63 @@ def test_membership_exact_above_2_53_with_nulls(spark):
         # if the build had hashed ROUNDED values, v and v+1 would
         # collide and every near-miss would pass
         assert len(kept & set(near_misses)) <= 1
+
+
+def test_simhash_arrow_matches_python_oracle(spark):
+    """The production mapInArrow SimHash kernel must be bit-equal to the
+    scalar first-principles oracle (simhash_py) on messy inputs —
+    empty, whitespace-only, single-token, unicode, long-token docs."""
+    from bloom_filters_spark.operators.dedup import simhash_py, simhash_table
+
+    texts = [
+        "The quick brown Fox jumps over the lazy dog",
+        "  multiple   spaces\tand\nnewlines here ",
+        "",
+        "one",
+        "two tokens",
+        "Ünïcode tëxt with àccents préservés dans les octets",
+        "repeated repeated repeated repeated repeated",
+        "x" * 5000 + " tail",
+        "   \t\n ",
+    ] + [f"doc {i} body words alpha beta gamma{i} delta" for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == simhash_py(t), (i, t[:40])
+
+
+def test_simhash_dup_pairs_match_bruteforce_hamming(spark):
+    """The 4-block pigeonhole join must return exactly the brute-force
+    all-pairs Hamming<=3 set over the signatures."""
+    import itertools
+
+    from bloom_filters_spark.operators.dedup import (
+        simhash_dup_pairs,
+        simhash_table,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{j}" for j in range(60)]
+    texts = []
+    for i in range(40):
+        base = list(rng.choice(words, size=30))
+        texts.append(" ".join(base))
+        mutated = list(base)
+        mutated[int(rng.integers(0, 30))] = "zz"  # near-copy
+        texts.append(" ".join(mutated))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sims = {r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+            for r in simhash_table(df).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {(r["id1"], r["id2"])
+           for r in simhash_dup_pairs(df, max_hamming=3).collect()}
+    assert got == want
+    assert len(want) > 0  # planted near-copies actually collide
