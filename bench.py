@@ -17,8 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "near_dup_clusters",
+    "pages_near_dup_urls",
     "near_dup_pairs_exact",
     "dedup_exact",
+    "doc_fingerprints",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
     "substring_dup_pairs",
@@ -27,8 +29,10 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "top_event_types",
+    "topk_sketch_events",
     "cms_event_counts",
     "hll_distinct_users",
+    "distinct_users_exact",
     "bloom_prune_semijoin",
     "cuckoo_prune_semijoin",
     "counting_bloom_retract",
@@ -43,6 +47,8 @@ HEADLINE = [
     "embedding_mutual_nn",
     "xor_membership",
     "set_reconcile_customers",
+    "media_image_features",
+    "media_phash_dups",
 ]
 
 
