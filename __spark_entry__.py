@@ -717,16 +717,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
-_SW = {
-    "de": "['der','die','das','und','ist','von','zu','mit','den','nicht']",
-    "en": "['the','and','of','to','in','is','that','it','for','was']",
-    "es": "['el','la','los','de','que','y','en','un','una','es']",
-    "fr": "['le','la','les','et','de','un','une','est','que','pour']",
-}
+def _sw_list(lang):
+    from bloom_filters_spark.functions.text import STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
 
 
 def _sw_count(lang):
-    return f"len(list_filter(toks, x -> list_contains({_SW[lang]}, x)))"
+    return f"len(list_filter(toks, x -> list_contains({_sw_list(lang)}, x)))"
+
+
+def _script_count_sql(script):
+    """DuckDB expression counting chars of `text` inside the script's BMP
+    range — the same literal character-class the Spark expression uses
+    (RE2 needs the explicit 'g' flag to match Spark's replace-all)."""
+    from bloom_filters_spark.functions.text import SCRIPT_RANGES
+
+    lo, hi = SCRIPT_RANGES[script]
+    return f"length(regexp_replace(text, '[^{lo}-{hi}]', '', 'g'))"
+
+
+def _lang_id_sql():
+    """CASE chain mirroring lang_id_expr: script gates in SCRIPT_GATES
+    priority order, then the 10-language stopword argmax (lang asc
+    tie-break), else 'und'."""
+    from bloom_filters_spark.functions.text import SCRIPT_GATES, STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    gate_cols = ",\n               ".join(
+        f"{_script_count_sql(script)} AS s_{lang}"
+        for lang, script, _, _ in SCRIPT_GATES
+    )
+    sw_cols = ",\n               ".join(
+        f"{_sw_count(lang)} AS c_{lang}" for lang in langs
+    )
+    gates = "\n                 ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} * {num} >= nonspace * {den} "
+        f"THEN '{lang}'"
+        for lang, _, num, den in SCRIPT_GATES
+    )
+    gmax = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    votes = "\n                 ".join(
+        f"WHEN c_{lang} = {gmax} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+          WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+          ), c AS (
+            SELECT doc_id,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+               {gate_cols},
+               {sw_cols}
+            FROM base
+          )
+          SELECT doc_id,
+            CASE {gates}
+                 WHEN {gmax} = 0 THEN 'und'
+                 {votes}
+                 ELSE '{langs[-1]}' END AS lang_pred
+          FROM c
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1068,23 +1120,7 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'low' END AS quality_class
           FROM q
         """,
-        "lang_id": f"""
-          WITH base AS (
-            SELECT doc_id, {_TOKS} AS toks FROM documents
-          ), c AS (
-            SELECT doc_id,
-                   {_sw_count("de")} AS c_de, {_sw_count("en")} AS c_en,
-                   {_sw_count("es")} AS c_es, {_sw_count("fr")} AS c_fr
-            FROM base
-          )
-          SELECT doc_id,
-            CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-                 WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
-                 WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
-                 WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
-                 ELSE 'fr' END AS lang_pred
-          FROM c
-        """,
+        "lang_id": _lang_id_sql(),
         "doc_fingerprints": f"""
           SELECT doc_id, md5({_NORM}) AS fp FROM documents
         """,

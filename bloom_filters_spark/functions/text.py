@@ -12,12 +12,49 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # tiny per-language stopword seeds for the n-gram/stopword heuristic
+# (Latin-script languages — non-Latin scripts are gated by codepoint
+# ranges in lang_id_expr before the vote ever runs)
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
     "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
     "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+    "it": ["il", "che", "di", "e", "per", "con", "sono", "del", "non", "si"],
+    "pt": ["o", "os", "do", "da", "em", "para", "com", "uma", "não", "mais"],
+    "nl": ["het", "een", "van", "ik", "dat", "niet", "zijn", "op", "te", "maar"],
+    "sv": ["och", "att", "det", "som", "på", "är", "av", "för", "med", "har"],
+    "pl": ["i", "w", "nie", "się", "na", "jest", "że", "do", "tak", "jak"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "daha", "ne", "gibi", "çok", "ama"],
 }
+
+# BMP codepoint ranges per script — literal chars so the identical
+# character-class works in Java regex (Spark) and RE2 (DuckDB oracle)
+SCRIPT_RANGES = {
+    "kana": ("\u3040", "\u30ff"),        # hiragana + katakana
+    "hangul": ("\uac00", "\ud7af"),
+    "han": ("\u4e00", "\u9fff"),
+    "cyrillic": ("\u0400", "\u04ff"),
+    "arabic": ("\u0600", "\u06ff"),
+    "devanagari": ("\u0900", "\u097f"),
+    "greek": ("\u0370", "\u03ff"),
+    "hebrew": ("\u0590", "\u05ff"),
+}
+
+# ordered gates: first match wins.  (lang, script, num, den) reads
+# "count*num >= nonspace*den", i.e. script ratio >= den/num — integer
+# arithmetic only, so Spark and the SQL oracle compare bit-identically.
+# Kana at >=5% fires before Han so Japanese (Han+kana mix) never
+# misroutes to zh; everything else needs >=30% of non-space chars.
+SCRIPT_GATES = [
+    ("ja", "kana", 20, 1),
+    ("ko", "hangul", 10, 3),
+    ("zh", "han", 10, 3),
+    ("ru", "cyrillic", 10, 3),
+    ("ar", "arabic", 10, 3),
+    ("hi", "devanagari", 10, 3),
+    ("el", "greek", 10, 3),
+    ("he", "hebrew", 10, 3),
+]
 
 
 def token_count_expr(text: Column) -> Column:
@@ -102,10 +139,16 @@ def quality_class_expr(text: Column) -> Column:
 
 
 def lang_id_expr(text: Column) -> Column:
-    """Stopword-vote language ID over {en,de,fr,es}; 'und' if no votes.
+    """Two-stage language ID, all JVM-codegen expressions.
 
-    The classic cheap heuristic: count stopword hits per language,
-    argmax with deterministic tie-break (language name asc).
+    Stage 1 — Unicode-script gates (SCRIPT_GATES order): if >=30% of
+    non-space characters fall in a script's BMP range (>=5% for kana,
+    which is definitive for Japanese), classify immediately — zh, ja,
+    ko, ru, ar, hi, el, he.
+
+    Stage 2 — stopword vote over the 10 Latin-script STOPWORDS
+    languages: count stopword hits per language, argmax with
+    deterministic tie-break (language name asc); 'und' if no votes.
     """
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
     scores = []
@@ -125,7 +168,16 @@ def lang_id_expr(text: Column) -> Column:
         F.struct(F.lit(-1).cast("int").alias("n"), F.lit("").alias("lang")),
         lambda acc, s: F.when(s["n"] > acc["n"], s).otherwise(acc),
     )
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    out = F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    # script gates wrap the vote, highest priority outermost
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    for lang, script, num, den in reversed(SCRIPT_GATES):
+        lo, hi = SCRIPT_RANGES[script]
+        cnt = F.length(F.regexp_replace(text, f"[^{lo}-{hi}]", ""))
+        out = F.when(
+            (cnt > 0) & (cnt * num >= nonspace * den), F.lit(lang)
+        ).otherwise(out)
+    return out
 
 
 def doc_fingerprint_expr(text: Column) -> Column:
