@@ -47,31 +47,37 @@ def connected_components(
 
 def _components_driver(edges: DataFrame, vertices: DataFrame | None,
                        id_col: str) -> DataFrame:
-    rows = edges.select("id1", "id2").collect()
-    parent: dict = {}
+    """Driver-side solve, Arrow end to end: the edge list arrives as two
+    int64 Arrow columns (16 bytes/edge — 32 MB at the 2M-edge threshold,
+    vs several hundred MB of Row objects), and the solve is vectorized
+    hash-min + pointer jumping over dense numpy arrays (O(E) per pass,
+    O(log diameter) passes) — no per-edge Python."""
+    import numpy as np
+    import pandas as pd
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for r in rows:
-        a, b = find(r["id1"]), find(r["id2"])
-        if a != b:
-            if a > b:
-                a, b = b, a
-            parent[b] = a
-    nodes = set(parent)
-    for r in rows:
-        nodes.add(r["id1"])
-        nodes.add(r["id2"])
-    labels = [(x, find(x)) for x in nodes]
+    tbl = edges.select("id1", "id2").toArrow()
+    a = tbl.column("id1").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("id2").to_numpy(zero_copy_only=False).astype(np.int64)
+    # dense re-index; np.unique sorts, so smaller index == smaller id and
+    # min-index per component == min-id per component
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        # relax every edge both ways (min label wins)
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        # pointer jumping: labels point at smaller-id nodes, so chasing
+        # two hops per pass halves remaining chain depth
+        lab = np.minimum(lab, lab[lab])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, prev):
+            break
     spark = edges.sparkSession
-    if labels:
-        lbl_df = spark.createDataFrame(labels, f"{id_col} long, cluster_id long")
+    pdf = pd.DataFrame({id_col: nodes, "cluster_id": nodes[lab]})
+    if len(pdf):
+        lbl_df = spark.createDataFrame(pdf)
     else:
         lbl_df = spark.createDataFrame([], f"{id_col} long, cluster_id long")
     if vertices is not None:
