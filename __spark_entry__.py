@@ -295,6 +295,54 @@ def q_doc_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", F.md5(norm).alias("fp"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition metrics (Gopher-style quality
+    filters): duplicate-word fraction and top-2/3-gram character
+    coverage, as floor(frac·10⁶) longs (the cross-engine hash-safe
+    encoding — see functions/text.py:_ppm).  Uses the scalable
+    explode→hash-agg form (linear, codegen'd); the quadratic
+    expression form is its pytest-asserted bit-identical oracle."""
+    from bloom_filters_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _synth_url_expr():
+    """Deterministic messy-URL column from doc_id — exercises every
+    canonicalization rule (case, www, default port, tracking params,
+    fragments, trailing slash).  Mirrored literally in the oracle SQL."""
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    host = (
+        F.when(d % 3 == 0, F.concat(F.lit("HTTPS://WWW.Site"), s(10), F.lit(".COM:443")))
+        .when(d % 3 == 1, F.concat(F.lit("https://site"), s(10), F.lit(".com")))
+        .otherwise(F.concat(F.lit("https://Site"), s(10), F.lit(".com:443")))
+    )
+    tail = (
+        F.when(d % 4 == 0, F.concat(F.lit("/a/"), s(5), F.lit("?utm_source=x&id="), s(2)))
+        .when(d % 4 == 1, F.concat(F.lit("/a/"), s(5), F.lit("?id="), s(2), F.lit("&fbclid=z#frag")))
+        .when(d % 4 == 2, F.concat(F.lit("/a/"), s(5), F.lit("/#top")))
+        .otherwise(F.concat(F.lit("/a/"), s(5)))
+    )
+    return F.concat(host, tail)
+
+
+def q_url_canonical_dups(spark, sf_dir):
+    """URL canonicalization as a dedup key: synthesize a messy URL per
+    document (deterministic from doc_id), canonicalize, and report the
+    groups that collapse (n_docs > 1)."""
+    from bloom_filters_spark.functions.url import canonicalize_url_expr
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", canonicalize_url_expr(_synth_url_expr()).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
@@ -692,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "repetition_stats": q_repetition_stats,
+        "url_canonical_dups": q_url_canonical_dups,
         "top_event_types": q_top_event_types,
         "topk_sketch_events": q_topk_sketch_events,
         "cms_event_counts": q_cms_event_counts,
@@ -1123,6 +1173,91 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "doc_fingerprints": f"""
           SELECT doc_id, md5({_NORM}) AS fp FROM documents
+        """,
+        # mirrors functions/text.py dup_word_frac_expr /
+        # top_ngram_char_frac_expr with ppm=True: identical IEEE double
+        # ops (int::DOUBLE / int, * 1000000.0, FLOOR), so the longs are
+        # bit-equal.  FLOOR+CAST, never bare CAST (DuckDB rounds).
+        "repetition_stats": f"""
+          WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+          ), g AS (
+            SELECT doc_id, toks, len(toks) AS n,
+              length(array_to_string(toks, ' ')) AS total,
+              list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' ')) AS g3
+            FROM base
+          )
+          SELECT doc_id,
+            CAST(FLOOR((CASE WHEN n > 0
+                 THEN 1.0 - len(list_distinct(toks))::DOUBLE / n
+                 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS dup_word_ppm,
+            CAST(FLOOR((CASE WHEN n >= 2 THEN
+                 list_max(list_transform(g2,
+                   x -> len(list_filter(g2, y -> y = x)) * length(x)))::DOUBLE
+                 / (CASE WHEN total > 0 THEN total ELSE 1 END)
+                 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS top2gram_ppm,
+            CAST(FLOOR((CASE WHEN n >= 3 THEN
+                 list_max(list_transform(g3,
+                   x -> len(list_filter(g3, y -> y = x)) * length(x)))::DOUBLE
+                 / (CASE WHEN total > 0 THEN total ELSE 1 END)
+                 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS top3gram_ppm
+          FROM g
+        """,
+        # mirrors functions/url.py canonicalize_url_expr + the synthetic
+        # URL construction in q_url_canonical_dups; RE2 spells the
+        # backref '\\1' and needs the 'g' flag where Spark replaces all
+        "url_canonical_dups": r"""
+          WITH u AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 10)::VARCHAR || '.COM:443'
+                    WHEN doc_id % 3 = 1 THEN 'https://site' || (doc_id % 10)::VARCHAR || '.com'
+                    ELSE 'https://Site' || (doc_id % 10)::VARCHAR || '.com:443' END)
+              ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/a/' || (doc_id % 5)::VARCHAR || '?utm_source=x&id=' || (doc_id % 2)::VARCHAR
+                    WHEN doc_id % 4 = 1 THEN '/a/' || (doc_id % 5)::VARCHAR || '?id=' || (doc_id % 2)::VARCHAR || '&fbclid=z#frag'
+                    WHEN doc_id % 4 = 2 THEN '/a/' || (doc_id % 5)::VARCHAR || '/#top'
+                    ELSE '/a/' || (doc_id % 5)::VARCHAR END) AS url
+            FROM documents
+          ), p AS (
+            SELECT doc_id, url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+            FROM u
+          ), hp AS (
+            SELECT *, CASE WHEN scheme = 'http'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+                           WHEN scheme = 'https'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+                           ELSE regexp_replace(hostraw, '^www\.', '') END AS host
+            FROM p
+          ), r1 AS (
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
+                '\?&+', '?', 'g'),
+              '&&+', '&', 'g') AS ra
+            FROM hp
+          ), r2 AS (
+            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+          ), r3 AS (
+            SELECT *, CASE WHEN rb NOT LIKE '%?%'
+                           THEN regexp_replace(rb, '/+$', '')
+                           ELSE rb END AS rc
+            FROM r2
+          ), canon AS (
+            SELECT doc_id,
+              CASE WHEN scheme <> ''
+                   THEN scheme || '://' || host || (CASE WHEN rc = '' THEN '/' ELSE rc END)
+                   ELSE regexp_replace(url, '#.*$', '') END AS canon_url
+            FROM r3
+          )
+          SELECT canon_url, count(*) AS n_docs, min(doc_id) AS min_doc
+          FROM canon GROUP BY canon_url HAVING count(*) > 1
+          ORDER BY canon_url
         """,
         "top_event_types": """
           SELECT event_type AS value, count(*) AS frequency,

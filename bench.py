@@ -28,6 +28,8 @@ HEADLINE = [
     "token_counts",
     "text_quality",
     "lang_id",
+    "repetition_stats",
+    "url_canonical_dups",
     "top_event_types",
     "topk_sketch_events",
     "cms_event_counts",

@@ -1,0 +1,60 @@
+"""URL canonicalization for web-page dedup keys — pure JVM expressions
+(regexp extract/replace chains, codegen'd, no Python) so the column
+composes with scans and the DuckDB oracle can mirror it.
+
+Canonical form (the common CC-pipeline normalization):
+
+1. drop the ``#fragment``;
+2. lowercase scheme and host (path/query case preserved);
+3. drop a leading ``www.`` host label;
+4. drop the scheme's default port (``:80`` http, ``:443`` https);
+5. remove tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+   ``ref``) and clean up leftover ``?``/``&`` separators;
+6. strip trailing slashes from a query-less path (empty path → ``/``).
+
+Inputs that don't parse as ``scheme://...`` are passed through with
+only fragment stripping — canonicalization must never invent structure.
+
+Note for the oracle author: Java regex replacement refs are ``$1``,
+DuckDB/RE2 uses ``\\1`` and needs the ``'g'`` flag — the SQL mirror in
+``__spark_entry__.oracle_sql`` differs in exactly those two spellings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+TRACKING_RE = r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*"
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+
+    rest = F.regexp_extract(url, REST_RE, 1)  # path[?query], no fragment
+    # kill tracking params, then normalize separator debris:
+    # "?&id=1" → "?id=1", "a&&b" → "a&b", trailing "?"/"&" dropped
+    rest = F.regexp_replace(rest, TRACKING_RE, "$1")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.when(
+        ~rest.contains("?"), F.regexp_replace(rest, r"/+$", "")
+    ).otherwise(rest)
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+
+    out = F.concat(scheme, F.lit("://"), host, rest)
+    # unparseable (no scheme://): pass through minus fragment
+    return F.when(
+        scheme != "", out
+    ).otherwise(F.regexp_replace(url, r"#.*$", ""))

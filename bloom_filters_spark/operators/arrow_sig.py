@@ -359,6 +359,7 @@ def fused_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_shingles: np.ndarray | None = None,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """text → exploded (doc_id, band_id, band_hash) in ONE Arrow stage,
     never materializing a signature column.
@@ -369,7 +370,15 @@ def fused_band_rows(
     table is 16-byte rows.  The verify stage recomputes signatures just
     for the (rare) docs that appear in a candidate pair; determinism of
     the kernel guarantees they match the ones banded here.
+
+    ``hash_bits=32`` xor-folds the 64-bit band hash into an int column,
+    cutting the shuffled band row 16 → 12 bytes.  Collisions only MERGE
+    candidate groups (extra pairs are filtered downstream by verify), so
+    recall is unaffected; the cost is ~n_rows²/2³³ colliding row pairs
+    of extra verify work.  A/B knob for bandwidth-bound exchanges.
     """
+    if hash_bits not in (32, 64):
+        raise ValueError("hash_bits must be 32 or 64")
     a_arr = factory.a.copy()
     b_arr = factory.b.copy()
     c = int(factory.c)
@@ -377,6 +386,7 @@ def fused_band_rows(
     w = shingle_size
     mv = max_value
     b_, r_ = bands, rows
+    fold32 = hash_bits == 32
     hot = np.sort(hot_shingles.astype(np.int64)) if hot_shingles is not None \
         and len(hot_shingles) else None
 
@@ -390,18 +400,27 @@ def fused_band_rows(
             n = len(kept)
             if n == 0:
                 continue
-            acc = _band_hashes_from_sig(sig, b_, r_)
+            acc = _band_hashes_from_sig(sig, b_, r_).reshape(-1)
+            if fold32:
+                hashes = pa.array(
+                    (acc ^ (acc >> np.uint64(32)))
+                    .astype(np.uint32).view(np.int32),
+                    type=pa.int32(),
+                )
+            else:
+                hashes = pa.array(acc.view(np.int64), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(kept, b_), type=pa.int64()),
                     pa.array(np.tile(band_ids, n), type=pa.int32()),
-                    pa.array(acc.reshape(-1).view(np.int64), type=pa.int64()),
+                    hashes,
                 ],
                 names=[id_col, "band_id", "band_hash"],
             )
 
+    hash_t = "int" if fold32 else "long"
     return df.select(id_col, text_col).mapInArrow(
-        compute, f"{id_col} long, band_id int, band_hash long"
+        compute, f"{id_col} long, band_id int, band_hash {hash_t}"
     )
 
 

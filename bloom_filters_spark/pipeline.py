@@ -79,6 +79,12 @@ class NearDupConfig:
     # recomputed only for candidate-pair participants in the verify
     # stage.  Biggest single win on bandwidth-bound hosts.
     fuse_bands: bool = True
+    # band-hash width on the fused path: 64 (default) or 32.  32 xor-
+    # folds the hash, cutting the widest shuffle's rows 16 → 12 bytes at
+    # the price of ~n_rows²/2³³ colliding candidate groups (merged
+    # groups only ADD verify work — recall unaffected).  Measured A/B at
+    # this sandbox's scale lives in BENCH/SCALING.md.
+    band_hash_bits: int = 64
     # CMS frequent-shingle (boilerplate) pruning: shingles appearing in
     # more than this fraction of documents are dropped before MinHash —
     # navigation chrome / legal footers otherwise dominate signatures
@@ -119,6 +125,8 @@ class NearDupConfig:
     def __post_init__(self):
         if self.num_hashes % self.bands != 0:
             raise ValueError("num_hashes must be divisible by bands")
+        if self.band_hash_bits not in (32, 64):
+            raise ValueError("band_hash_bits must be 32 or 64")
 
     @property
     def rows_per_band(self) -> int:
@@ -498,7 +506,7 @@ def near_dup_pipeline(
         bands = fused_band_rows(
             df, cfg.factory(), cfg.bands, cfg.rows_per_band,
             cfg.shingle_size, cfg.max_value, id_col, text_col,
-            hot_shingles=hot,
+            hot_shingles=hot, hash_bits=cfg.band_hash_bits,
         )
         candidates = candidate_pairs(
             bands, cfg.max_band_group, id_col, mode=_pair_mode()

@@ -406,3 +406,25 @@ def test_hot_band_star_fallback(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
     assert all(got[i] == 0 for i in range(100))
     assert all(got[200 + i] == 200 + i for i in range(5))
+
+
+def test_band_hash_bits_32_same_clusters(spark, documents_texts):
+    """band_hash_bits=32 folds the band hash; merged groups only add
+    verify work, so cluster output must be identical to the 64-bit
+    default (and the band table's hash column becomes int)."""
+    texts = documents_texts
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    c64 = NearDupConfig(threshold=0.7)
+    c32 = NearDupConfig(threshold=0.7, band_hash_bits=32)
+    out64 = {r["doc_id"]: r["cluster_id"]
+             for r in near_dup_pipeline(df, c64).collect()}
+    out32 = {r["doc_id"]: r["cluster_id"]
+             for r in near_dup_pipeline(df, c32).collect()}
+    assert out64 == out32
+
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+    bands32 = fused_band_rows(df, c32.factory(), c32.bands,
+                              c32.rows_per_band, hash_bits=32)
+    assert dict(bands32.dtypes)["band_hash"] == "int"
+    with pytest.raises(ValueError):
+        NearDupConfig(band_hash_bits=16)
