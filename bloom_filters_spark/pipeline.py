@@ -353,6 +353,7 @@ def pages_near_dup(
     lang: str | None = None,
     extractor: str = "simple",
     key_mode: str = "hash64",
+    canonicalize_urls: bool = False,
 ) -> DataFrame:
     """input_hint entry point: ``pages(url, warc_ts, html, text, lang)``
     → ``(url, cluster_url)`` with ``cluster_url`` shared by every page in
@@ -371,7 +372,18 @@ def pages_near_dup(
     * ``text_col=None`` extracts text from ``html`` via
       ``sources.pages.extract_text_expr`` (byte-identical per url);
     * ``lang="en"`` prunes by language BEFORE any kernel — a native
-      filter Catalyst pushes into the scan.
+      filter Catalyst pushes into the scan;
+    * ``canonicalize_urls=True`` collapses url VARIANTS of the same
+      resource (``www.``, default ports, ``utm_*``/fragment debris —
+      :func:`functions.url.canonicalize_url_expr`) into ONE document
+      before any text work: the content pipeline runs once per
+      canonical url (representative text = the lexicographically
+      smallest member url's text, a deterministic ``min_by``), and
+      every member url inherits its canonical url's cluster.  At CC
+      scale this is the standard first dedup stage — it removes the
+      ~10-30% of fetches that are trivial url aliases for the cost of
+      one partial-aggregatable shuffle over ``(canon, url)``, shrinking
+      the corpus the expensive MinHash stages see.
     """
     if cfg is None:
         cfg = NearDupConfig(exact_prededup="auto")
@@ -390,21 +402,40 @@ def pages_near_dup(
         )
         pages = pages.withColumn("_text", extract(F.col("html")))
         text_col = "_text"
+    if canonicalize_urls:
+        from bloom_filters_spark.functions.url import canonicalize_url_expr
+
+        pages = pages.withColumn(
+            "_curl", canonicalize_url_expr(F.col(url_col))
+        )
+        # one representative (canon, text) per canonical url; min_by is
+        # partial-aggregatable so this combines map-side before the
+        # single shuffle on _curl
+        reps = pages.groupBy("_curl").agg(
+            F.min_by(F.col(text_col), F.col(url_col)).alias("_t")
+        )
+        key_src, key_col = reps, "_curl"
+    else:
+        key_src, key_col = pages, url_col
     if key_mode == "collision_free":
-        id_map = collision_free_url_ids(pages, url_col)
-        keyed = pages.join(id_map, url_col).select(
+        id_map = collision_free_url_ids(key_src, key_col)
+        keyed = key_src.join(id_map, key_col)
+    else:
+        keyed = key_src.withColumn("_nid", F.xxhash64(F.col(key_col)))
+    if canonicalize_urls:
+        keyed = keyed.select("_nid", "_curl", "_t")
+        # every member url rides its canonical url's id
+        urls = pages.select(F.col(url_col), "_curl").join(
+            keyed.select("_nid", "_curl"), "_curl"
+        ).select("_nid", url_col)
+    else:
+        keyed = keyed.select(
             "_nid", F.col(url_col), F.col(text_col).alias("_t")
         )
-    else:
-        keyed = pages.select(
-            F.xxhash64(F.col(url_col)).alias("_nid"),
-            F.col(url_col),
-            F.col(text_col).alias("_t"),
-        )
+        urls = keyed.select("_nid", url_col)
     clusters = near_dup_pipeline(
         keyed.select("_nid", "_t"), cfg, id_col="_nid", text_col="_t"
     )
-    urls = keyed.select("_nid", url_col)
     # canonical member = lexicographically smallest url in the component:
     # stable under the internal key-hashing scheme (min _nid would leak
     # xxhash64 ordering into the user-visible contract) and exactly

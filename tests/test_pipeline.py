@@ -277,6 +277,56 @@ def test_pages_near_dup_collision_free_no_cluster_merge(spark, monkeypatch):
     assert all(u == cu for u, cu in out.items())
 
 
+def test_pages_near_dup_canonicalize_urls(spark):
+    """canonicalize_urls=True: url VARIANTS (www., :443, utm_*,
+    fragments) of one resource share a cluster with NO text similarity
+    required, near-dup text still clusters across distinct canonical
+    urls, and unrelated pages stay singletons."""
+    from bloom_filters_spark.pipeline import pages_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    rows = [
+        # 3 variants of one resource, deliberately different texts
+        ("https://www.a.com:443/x?utm_source=t", base),
+        ("https://a.com/x", "completely different words here entirely "
+                            "unlike anything else in this tiny corpus"),
+        ("https://A.com/x/#frag", "third variant text also unrelated to "
+                                  "the others in every possible way"),
+        # near-dup of the first variant's text at a different resource
+        ("https://b.com/y", base + " extra"),
+        # unrelated singleton
+        ("https://c.com/z", "nothing in common with anything above nor "
+                            "below just some filler prose for testing"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = {r["url"]: r["cluster_url"] for r in
+           pages_near_dup(pages, NearDupConfig(threshold=0.5),
+                          canonicalize_urls=True).collect()}
+    assert len(out) == 5  # every member url appears in the output
+    variants = [rows[0][0], rows[1][0], rows[2][0]]
+    assert len({out[u] for u in variants}) == 1  # aliases collapse
+    # representative text is min(url)'s ("https://A.com/x/#frag" sorts
+    # first -> its text is the cluster's content), which is NOT a
+    # near-dup of b.com/y -> b stays separate, as does c
+    assert out[rows[3][0]] != out[variants[0]]
+    assert out[rows[4][0]] == rows[4][0]
+
+    # and when the representative (min-url) text IS a near-dup of
+    # another resource's text, the alias group bridges into its cluster
+    rows2 = [
+        ("https://www.a.com:443/x?utm_source=t", "alias text ignored"),
+        ("https://a.com/x", base),
+        ("https://b.com/y", base + " extra"),
+    ]
+    pages2 = spark.createDataFrame(rows2, "url string, text string")
+    out2 = {r["url"]: r["cluster_url"] for r in
+            pages_near_dup(pages2, NearDupConfig(threshold=0.5),
+                           canonicalize_urls=True).collect()}
+    assert len({out2[u] for u in (rows2[0][0], rows2[1][0],
+                                  rows2[2][0])}) == 1
+
+
 def test_pages_near_dup_collision_free_matches_default(spark):
     """Without collisions the collision_free keying must reproduce the
     default hash64 clustering exactly (round 0 uses the same hash)."""
