@@ -343,6 +343,30 @@ def q_url_canonical_dups(spark, sf_dir):
     )
 
 
+def q_pages_canonical_clusters(spark, sf_dir):
+    """Canonical-url keyed near-dup (pipeline.pages_near_dup with
+    canonicalize_urls=True): every doc gets a messy url VARIANT made
+    unique by a ``#d<doc_id>`` fragment the canonicalizer strips, so
+    url aliases collapse to one document (representative text =
+    lexicographically smallest member url's text) BEFORE MinHash; the
+    representatives then cluster at exact-Jaccard >= 0.8 and every
+    member url inherits its canonical url's cluster.  Output:
+    (url, cluster_url = min url over the whole component)."""
+    from bloom_filters_spark.pipeline import NearDupConfig, pages_near_dup
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            _synth_url_expr(), F.lit("#d"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("text"),
+    )
+    cfg = NearDupConfig(
+        threshold=0.8, num_hashes=128, bands=64, verify="exact",
+        max_band_group=4096,
+    )
+    return pages_near_dup(pages, cfg, canonicalize_urls=True)
+
+
 # ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
@@ -742,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "repetition_stats": q_repetition_stats,
         "url_canonical_dups": q_url_canonical_dups,
+        "pages_canonical_clusters": q_pages_canonical_clusters,
         "top_event_types": q_top_event_types,
         "topk_sketch_events": q_topk_sketch_events,
         "cms_event_counts": q_cms_event_counts,
@@ -1258,6 +1283,99 @@ def oracle_sql() -> dict[str, str]:
           SELECT canon_url, count(*) AS n_docs, min(doc_id) AS min_doc
           FROM canon GROUP BY canon_url HAVING count(*) > 1
           ORDER BY canon_url
+        """,
+        # mirrors pages_near_dup(canonicalize_urls=True): same canon
+        # chain as url_canonical_dups (urls made unique by a #d<doc_id>
+        # fragment the canonicalizer strips), representative text =
+        # min_by(text, url) per canonical url, 3-token-shingle exact
+        # Jaccard >= 0.8 over representatives, recursive components,
+        # cluster_url = min member url over the component
+        "pages_canonical_clusters": r"""
+          WITH RECURSIVE u AS (
+            SELECT doc_id, text,
+              (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 10)::VARCHAR || '.COM:443'
+                    WHEN doc_id % 3 = 1 THEN 'https://site' || (doc_id % 10)::VARCHAR || '.com'
+                    ELSE 'https://Site' || (doc_id % 10)::VARCHAR || '.com:443' END)
+              ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/a/' || (doc_id % 5)::VARCHAR || '?utm_source=x&id=' || (doc_id % 2)::VARCHAR
+                    WHEN doc_id % 4 = 1 THEN '/a/' || (doc_id % 5)::VARCHAR || '?id=' || (doc_id % 2)::VARCHAR || '&fbclid=z#frag'
+                    WHEN doc_id % 4 = 2 THEN '/a/' || (doc_id % 5)::VARCHAR || '/#top'
+                    ELSE '/a/' || (doc_id % 5)::VARCHAR END)
+              || '#d' || doc_id::VARCHAR AS url
+            FROM documents
+          ), p AS (
+            SELECT doc_id, text, url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+            FROM u
+          ), hp AS (
+            SELECT *, CASE WHEN scheme = 'http'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+                           WHEN scheme = 'https'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+                           ELSE regexp_replace(hostraw, '^www\.', '') END AS host
+            FROM p
+          ), r1 AS (
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
+                '\?&+', '?', 'g'),
+              '&&+', '&', 'g') AS ra
+            FROM hp
+          ), r2 AS (
+            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+          ), r3 AS (
+            SELECT *, CASE WHEN rb NOT LIKE '%?%'
+                           THEN regexp_replace(rb, '/+$', '')
+                           ELSE rb END AS rc
+            FROM r2
+          ), canon AS (
+            SELECT doc_id, text, url,
+              CASE WHEN scheme <> ''
+                   THEN scheme || '://' || host || (CASE WHEN rc = '' THEN '/' ELSE rc END)
+                   ELSE regexp_replace(url, '#.*$', '') END AS canon_url
+            FROM r3
+          ), rep AS (
+            SELECT canon_url, min_by(text, url) AS rtext
+            FROM canon GROUP BY canon_url
+          ), toks AS (
+            SELECT canon_url,
+                   list_filter(string_split_regex(lower(rtext), '\s+'),
+                               x -> x <> '') AS t
+            FROM rep
+          ), sets AS (
+            SELECT canon_url,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 2, 1) + 1),
+                     i -> array_to_string(t[i:i+2], ' ')
+                   )) AS sh
+            FROM toks WHERE len(t) > 0
+          ), pair AS (
+            SELECT a.canon_url AS u1, b.canon_url AS u2
+            FROM sets a JOIN sets b ON a.canon_url < b.canon_url
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= 0.8
+          ), edges AS (
+            SELECT u1 AS s, u2 AS d FROM pair
+            UNION ALL
+            SELECT u2 AS s, u1 AS d FROM pair
+          ), lab(cu, label) AS (
+            SELECT canon_url, canon_url FROM rep
+            UNION
+            SELECT e.d, l.label FROM lab l JOIN edges e ON e.s = l.cu
+          ), cl AS (
+            SELECT cu, min(label) AS comp FROM lab GROUP BY cu
+          ), curl AS (
+            SELECT c.comp, min(n.url) AS cluster_url
+            FROM canon n JOIN cl c ON n.canon_url = c.cu
+            GROUP BY c.comp
+          )
+          SELECT n.url, curl.cluster_url
+          FROM canon n
+          JOIN cl c ON n.canon_url = c.cu
+          JOIN curl ON curl.comp = c.comp
         """,
         "top_event_types": """
           SELECT event_type AS value, count(*) AS frequency,

@@ -30,6 +30,7 @@ HEADLINE = [
     "lang_id",
     "repetition_stats",
     "url_canonical_dups",
+    "pages_canonical_clusters",
     "top_event_types",
     "topk_sketch_events",
     "cms_event_counts",

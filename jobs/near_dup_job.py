@@ -8,7 +8,7 @@ Ship the library as a zip and submit (north-rule deployment shape):
         jobs/near_dup_job.py \
         --input  /path/to/docs.parquet \
         --output /path/to/clusters \
-        [--pages] [--lang en] [--threshold 0.8] \
+        [--pages] [--canonicalize-urls] [--lang en] [--threshold 0.8] \
         [--checkpoint-root /path/to/ckpt | --boilerplate-max-df 0.3]
 
 (``--checkpoint-root`` and ``--boilerplate-max-df``/``--exact-prededup
@@ -35,6 +35,10 @@ def main():
     p.add_argument("--output", required=True, help="output parquet path")
     p.add_argument("--pages", action="store_true",
                    help="input is a pages(url, warc_ts, html, text, lang) table")
+    p.add_argument("--canonicalize-urls", action="store_true",
+                   help="with --pages: collapse url variants (www., default "
+                        "ports, tracking params, fragments) into one document "
+                        "before the content pipeline")
     p.add_argument("--lang", default=None)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -75,10 +79,13 @@ def main():
         boilerplate_max_df=args.boilerplate_max_df,
         exact_prededup=args.exact_prededup,
     )
+    if args.canonicalize_urls and not args.pages:
+        p.error("--canonicalize-urls requires --pages (url-keyed input)")
     df = spark.read.parquet(args.input)
     t0 = time.time()
     if args.pages:
-        clusters = pages_near_dup(df, cfg, lang=args.lang)
+        clusters = pages_near_dup(df, cfg, lang=args.lang,
+                                  canonicalize_urls=args.canonicalize_urls)
     elif args.checkpoint_root:
         # the checkpointed path runs the plain signatures()/pairs stages
         # and does not implement hot-shingle pruning or exact prededup —
