@@ -41,6 +41,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # shuffle tuning from the round-3 paired A/B (tools/ab_shuffle.py,
+        # BENCH/SCALING.md): the hot-path shuffle rows are 8-byte hashes +
+        # ids (~incompressible), so lz4 is two pure-overhead memory passes
+        # — compression off + 1m write buffers won both paired head-to-heads
+        # (-7.5% wall at 32 cores, -24% at 8).  On a multi-executor fleet
+        # whose shuffles cross a real network, re-enable compression for
+        # compressible payloads via SPARK_GRAFT_SHUFFLE_COMPRESS=true;
+        # hash-dominated dedup shuffles gain nothing from it there either.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
         .config(
             "spark.driver.extraJavaOptions",
             "-Dio.netty.tryReflectionSetAccessible=true "

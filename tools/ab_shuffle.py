@@ -47,6 +47,15 @@ VARIANTS: dict[str, dict] = {
     # AQE partition coalescing off: post-band stages are small; measures
     # whether the coalesce re-plan overhead costs more than it saves
     "aqeoff": {"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    # candidate production default from the screening round: the two
+    # compatible winners together (compression off + bigger shuffle
+    # write buffers); confirmed head-to-head before adoption
+    "combo": {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+        "spark.shuffle.file.buffer": "1m",
+        "spark.shuffle.unsafe.file.output.buffer": "1m",
+    },
 }
 
 RUN_TEMPLATE = r"""
