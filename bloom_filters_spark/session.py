@@ -58,7 +58,7 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
         )
         .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.shuffle.localDisk.file.output.buffer", "1m")
         .config(
             "spark.driver.extraJavaOptions",
             "-Dio.netty.tryReflectionSetAccessible=true "

@@ -34,7 +34,7 @@ VARIANTS: dict[str, dict] = {
     # fewer, larger shuffle-write flushes
     "bigbuf": {
         "spark.shuffle.file.buffer": "1m",
-        "spark.shuffle.unsafe.file.output.buffer": "1m",
+        "spark.shuffle.localDisk.file.output.buffer": "1m",
     },
     # 32-bit band hash: widest shuffle rows 16 -> 12 bytes; extra
     # colliding candidates are verified away (VERDICT r02 item #7 asks
@@ -54,7 +54,7 @@ VARIANTS: dict[str, dict] = {
         "spark.shuffle.compress": "false",
         "spark.shuffle.spill.compress": "false",
         "spark.shuffle.file.buffer": "1m",
-        "spark.shuffle.unsafe.file.output.buffer": "1m",
+        "spark.shuffle.localDisk.file.output.buffer": "1m",
     },
 }
 
