@@ -47,6 +47,8 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_recall",
+    "embedding_ann_ivf",
+    "embedding_ivf_recall",
     "embedding_mutual_nn",
     "xor_membership",
     "set_reconcile_customers",

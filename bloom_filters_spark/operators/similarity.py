@@ -7,6 +7,11 @@
   (signed projections → bit key), candidates only within matching
   buckets across tables, then exact re-rank.  Probes multiple hash
   tables to trade recall for candidate count.
+* ``ivf_cosine_topk`` — the other scale path: IVF (inverted-file)
+  index with a spherical-k-means coarse quantizer trained on a bounded
+  deterministic sample; items live in one inverted list each, queries
+  probe their ``nprobe`` nearest lists, exact re-rank on candidates.
+  Trades recall for candidate count via nprobe/n_centroids.
 """
 
 from __future__ import annotations
@@ -325,6 +330,165 @@ def lsh_cosine_topk(
         F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def train_ivf_centroids(
+    items: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained on a
+    DETERMINISTIC bounded sample (the ``sample_size`` smallest ids —
+    a TakeOrdered heap, one scan, no full sort) so the index is stable
+    across runs and partitionings.  Driver cost is O(sample·dim) —
+    bounded and constant in corpus size, the standard IVF recipe
+    (train on a sample, assign everything); executors never see the
+    training loop.  Returns unit-norm (n_centroids, dim) float64.
+
+    Deterministic throughout: seeded k-means++ init over the fixed
+    sample, stable argmax assignment (ties → lowest centroid id),
+    empty clusters reseeded to the point farthest from its centroid
+    (ties → lowest sample index).
+    """
+    rows = (
+        items.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    x = mat / norms[:, None]
+    n = len(x)
+    if n < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: sample has {n} vectors < "
+            f"n_centroids={n_centroids}"
+        )
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - dot on unit sphere)
+    cent = np.empty((n_centroids, x.shape[1]))
+    cent[0] = x[rng.integers(n)]
+    d2 = np.maximum(1.0 - x @ cent[0], 0.0) ** 2
+    for j in range(1, n_centroids):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cent[j] = x[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ cent[j], 0.0) ** 2)
+    for _ in range(n_iters):
+        sims = x @ cent.T                       # (n, C)
+        assign = sims.argmax(axis=1)            # stable: lowest id wins ties
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members) == 0:
+                # farthest point from its own centroid, lowest index tie
+                worst = int((sims.max(axis=1)).argmin())
+                cent[j] = x[worst]
+                continue
+            m = members.mean(axis=0)
+            nm = np.linalg.norm(m)
+            cent[j] = m / nm if nm > 0 else cent[j]
+    return cent
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: a spherical-k-means coarse quantizer
+    partitions items into ``n_centroids`` inverted lists; each query
+    probes its ``nprobe`` nearest lists and re-ranks candidates by
+    exact cosine.  The faiss-IVF shape re-expressed as DataFrames:
+
+    * item assignment is ONE Arrow matmul pass (`mapInArrow`), emitting
+      an 8-byte ``centroid_id`` — the only extra column shuffled;
+    * candidates come from a single equi-join on ``centroid_id`` with
+      the (small) probe side broadcast — candidate volume is
+      ~n·nprobe/n_centroids per query, the sublinear knob;
+    * skewed lists (natural cluster imbalance) are AQE skew-join
+      territory; at fleet scale also raise n_centroids so lists stay
+      ~partition-sized.
+
+    Deterministic for fixed (seed, sample_size): training sample is
+    id-ordered, assignment ties resolve to the lowest centroid id, and
+    the re-rank rounds to 6dp with id tiebreaks — same convention as
+    ``cosine_topk``/``lsh_cosine_topk``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cent = train_ivf_centroids(
+        items, n_centroids, n_iters, sample_size, seed, id_col, vec_col
+    )
+
+    def assigned(df, idc, topn):
+        def compute(batches):
+            for batch in batches:
+                nrows = len(batch)
+                if nrows == 0:
+                    continue
+                flat = batch.column(1).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                m = flat.astype(np.float64).reshape(nrows, -1)
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (m / norms[:, None]) @ cent.T    # (nrows, C)
+                if topn == 1:
+                    cids = sims.argmax(axis=1).astype(np.int32)
+                    idx = pa.array(np.arange(nrows))
+                    cid_arr = pa.array(cids)
+                else:
+                    order = np.argsort(-sims, axis=1, kind="stable")
+                    cids = order[:, :topn].astype(np.int32)
+                    idx = pa.array(np.repeat(np.arange(nrows), topn))
+                    cid_arr = pa.array(cids.reshape(-1))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pc.take(batch.column(0), idx),
+                        pc.take(batch.column(1), idx),
+                        cid_arr,
+                    ],
+                    names=[idc, vec_col, "centroid_id"],
+                )
+
+        vec_type = dict(df.dtypes)[vec_col]
+        return df.select(idc, vec_col).mapInArrow(
+            compute,
+            f"{idc} long, {vec_col} {vec_type}, centroid_id int",
+        )
+
+    bi = assigned(items, id_col, 1)
+    bq = assigned(queries, query_id_col, nprobe).select(
+        query_id_col, F.col(vec_col).alias("_qvec"), "centroid_id"
+    )
+    cands = bi.join(F.broadcast(bq), "centroid_id")
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

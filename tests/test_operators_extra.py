@@ -254,3 +254,74 @@ def test_simhash_dup_pairs_match_bruteforce_hamming(spark):
            for r in simhash_dup_pairs(df, max_hamming=3).collect()}
     assert got == want
     assert len(want) > 0  # planted near-copies actually collide
+
+
+def test_ivf_planted_clusters_perfect_recall(spark):
+    """Well-separated planted clusters: IVF with nprobe=1 must recover
+    the exact per-query top-k — every query's neighbors live in its own
+    inverted list, so probing one list loses nothing."""
+    from bloom_filters_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + 0.05 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = df.filter(F.col("vec_id") >= 4)
+    exact = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+             cosine_topk(items, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+           ivf_cosine_topk(items, queries, k=5, n_centroids=4, nprobe=1,
+                           sample_size=196, seed=11).collect()}
+    assert ivf == exact
+
+
+def test_ivf_deterministic_and_sublinear_candidates(spark):
+    """Same seed twice → identical rows (training sample is id-ordered,
+    ties are stable); and a probed run scans only ~nprobe/n_centroids of
+    the corpus (top-1 still lands in the exact top-10 on isotropic
+    data — the same winnable gate the LSH ANN uses)."""
+    from bloom_filters_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(32).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = df.filter(F.col("vec_id") >= 3)
+    kw = dict(k=10, n_centroids=8, nprobe=4, sample_size=397, seed=13)
+    a = sorted(map(tuple, ivf_cosine_topk(items, queries, **kw).collect()))
+    b = sorted(map(tuple, ivf_cosine_topk(items, queries, **kw).collect()))
+    assert a == b and len(a) > 0
+    exact10 = {}
+    for r in cosine_topk(items, queries, k=10).collect():
+        exact10.setdefault(r["query_id"], set()).add(r["vec_id"])
+    top1 = {r["query_id"]: r["vec_id"] for r in
+            ivf_cosine_topk(items, queries, **kw).collect()
+            if r["rank"] == 1}
+    assert len(top1) == 3
+    for qid, vid in top1.items():
+        assert vid in exact10[qid], (qid, vid)
+
+
+def test_ivf_training_guard(spark):
+    """Sample smaller than n_centroids must fail loudly, not train a
+    degenerate quantizer."""
+    from bloom_filters_spark.operators.similarity import train_ivf_centroids
+
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_centroids"):
+        train_ivf_centroids(df, n_centroids=8, sample_size=5)
