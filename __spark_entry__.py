@@ -1237,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
           JOIN gall gb ON gb.doc_id = p.id2 AND gb.gram = ga.gram
           GROUP BY p.id1, p.id2
         """,
-        "token_counts": f"""
+        "token_counts": rf"""
           SELECT doc_id, len({_TOKS}) AS n_tokens,
                  len(regexp_extract_all(text,
                      '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s'']+|''')) AS n_tokens_bpe
