@@ -446,7 +446,10 @@ def topk_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     """The engine's exact batch top-k (SURVEY.md §2.4 TopK row):
     groupBy().count() + deterministic ORDER BY count DESC, value ASC
     LIMIT k — Spark plans partial+final hash agg and
-    TakeOrderedAndProject; one shuffle."""
+    TakeOrderedAndProject; one shuffle.  The rank window runs AFTER
+    LIMIT k, so its single partition holds at most k rows (constant
+    work at any corpus size); partitionBy(lit(0)) states that
+    explicitly instead of tripping the global-window warning."""
     return (
         df.groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("frequency"))
@@ -456,7 +459,11 @@ def topk_exact(df: DataFrame, col: str, k: int) -> DataFrame:
             "value",
             "frequency",
             F.row_number()
-            .over(Window.orderBy(F.desc("frequency"), F.asc("value")))
+            .over(
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.desc("frequency"), F.asc("value")
+                )
+            )
             .alias("rank"),
         )
     )
