@@ -47,6 +47,22 @@ VARIANTS: dict[str, dict] = {
     # AQE partition coalescing off: post-band stages are small; measures
     # whether the coalesce re-plan overhead costs more than it saves
     "aqeoff": {"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    # round-3 follow-up: with nocomp+1m now the session default, "base"
+    # IS the adopted combo; smallbuf isolates the 1m-buffer component by
+    # reverting ONLY the buffers to Spark's 32k default (compression
+    # stays off).  Motivated by the sf0.1 finding that 1m buffers cost
+    # ~2x on tiny shuffles (bypass-merge allocates one buffer per reduce
+    # partition per map task).
+    "smallbuf": {
+        "spark.shuffle.file.buffer": "32k",
+        "spark.shuffle.localDisk.file.output.buffer": "32k",
+    },
+    # compromise candidate: 4x fewer syscalls than 32k, 8x less buffer
+    # allocation per bypass-merge map task than 1m
+    "midbuf": {
+        "spark.shuffle.file.buffer": "128k",
+        "spark.shuffle.localDisk.file.output.buffer": "128k",
+    },
     # candidate production default from the screening round: the two
     # compatible winners together (compression off + bigger shuffle
     # write buffers); confirmed head-to-head before adoption
