@@ -49,6 +49,15 @@ def get_spark(
         # whose shuffles cross a real network, re-enable compression for
         # compressible payloads via SPARK_GRAFT_SHUFFLE_COMPRESS=true;
         # hash-dominated dedup shuffles gain nothing from it there either.
+        # Buffer-size isolation (SCALING.md): 1m-vs-32k orderings flip
+        # across measurement windows (second-order vs host noise); 1m won
+        # 2/3 paired windows and stays.  Fleet caveat: on the bypass-merge
+        # path (reduce partitions <= spark.shuffle.sort.bypassMergeThreshold,
+        # default 200) each concurrent map task allocates one buffer PER
+        # reduce partition — worst case 200 MB/task at 1m.  Above the
+        # threshold the sort shuffle uses one buffer per spill stream and
+        # 1m is safe at any partition count.  SPARK_GRAFT_SHUFFLE_BUFFER
+        # overrides for bypass-merge-heavy deployments.
         .config(
             "spark.shuffle.compress",
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
@@ -57,8 +66,14 @@ def get_spark(
             "spark.shuffle.spill.compress",
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
         )
-        .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.localDisk.file.output.buffer", "1m")
+        .config(
+            "spark.shuffle.file.buffer",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_BUFFER", "1m"),
+        )
+        .config(
+            "spark.shuffle.localDisk.file.output.buffer",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_BUFFER", "1m"),
+        )
         .config(
             "spark.driver.extraJavaOptions",
             "-Dio.netty.tryReflectionSetAccessible=true "
