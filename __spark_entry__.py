@@ -367,6 +367,69 @@ def q_pages_canonical_clusters(spark, sf_dir):
     return pages_near_dup(pages, cfg, canonicalize_urls=True)
 
 
+def _synth_para_docs(spark, sf_dir):
+    """Deterministic paragraph-structured corpus from the single-line
+    documents fixture: doc d's newline-joined paragraphs are texts
+    d (always), (2d+1) % N (when d % 5 in {1,3}), (3d+5) % N (when
+    d % 5 = 3) — affine src maps so some base texts recur as
+    paragraphs of several documents and others in exactly one,
+    giving a non-degenerate per-doc dup-ratio spread (0 / ½ / ⅔ / 1
+    at sf0.01) over 1-3-paragraph documents.  Mirrored literally in
+    the oracle SQL (same conditions, same affine maps)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    d = F.col("doc_id")
+    base = docs.select("doc_id")
+    s0 = base.select(
+        "doc_id", F.lit(0).alias("pos"), (d % n).alias("src")
+    )
+    s1 = base.filter((d % 5).isin(1, 3)).select(
+        "doc_id", F.lit(1).alias("pos"), ((d * 2 + 1) % n).alias("src")
+    )
+    s2 = base.filter(d % 5 == 3).select(
+        "doc_id", F.lit(2).alias("pos"), ((d * 3 + 5) % n).alias("src")
+    )
+    slots = s0.unionByName(s1).unionByName(s2)
+    paras = slots.join(
+        docs.select(F.col("doc_id").alias("src"), F.col("text").alias("para")),
+        "src",
+    )
+    return paras.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def q_paragraph_dup_stats(spark, sf_dir):
+    """Paragraph-granularity dup metrics (Dolma/FineWeb-style): over a
+    deterministic paragraph-structured corpus, per-document count of
+    lines whose text recurs in >= 2 distinct documents, as exact
+    integer ppm."""
+    from bloom_filters_spark.operators.paragraphs import paragraph_dup_stats
+
+    return paragraph_dup_stats(_synth_para_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def q_paragraph_dedup_clean(spark, sf_dir):
+    """Keep-first paragraph dedup: duplicated paragraphs survive only
+    in their min-doc_id owner; documents reassemble in original line
+    order (empty string when every line was claimed elsewhere)."""
+    from bloom_filters_spark.operators.paragraphs import (
+        paragraph_dedup_clean,
+    )
+
+    return paragraph_dedup_clean(_synth_para_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
@@ -818,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "repetition_stats": q_repetition_stats,
+        "paragraph_dup_stats": q_paragraph_dup_stats,
+        "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "url_canonical_dups": q_url_canonical_dups,
         "pages_canonical_clusters": q_pages_canonical_clusters,
         "top_event_types": q_top_event_types,
@@ -1310,6 +1375,76 @@ def oracle_sql() -> dict[str, str]:
                  / (CASE WHEN total > 0 THEN total ELSE 1 END)
                  ELSE 0.0 END) * 1000000.0) AS BIGINT) AS top3gram_ppm
           FROM g
+        """,
+        # paragraph corpus mirrors _synth_para_docs literally (same
+        # offsets 0/7/14, same modulus); the oracle keys dup-detection
+        # on the paragraph STRING where the engine keys on
+        # (xxhash64, length) — identical output absent a joint
+        # hash+length collision (~0 at fixture scale)
+        "paragraph_dup_stats": """
+          WITH n AS (SELECT count(*) AS n FROM documents),
+          slots AS (
+            SELECT d.doc_id, 0 AS pos, d.doc_id % n.n AS src
+            FROM documents d CROSS JOIN n
+            UNION ALL
+            SELECT d.doc_id, 1, (2 * d.doc_id + 1) % n.n
+            FROM documents d CROSS JOIN n WHERE d.doc_id % 5 IN (1, 3)
+            UNION ALL
+            SELECT d.doc_id, 2, (3 * d.doc_id + 5) % n.n
+            FROM documents d CROSS JOIN n WHERE d.doc_id % 5 = 3
+          ),
+          pd AS (
+            SELECT s.doc_id, s.pos, trim(p.text) AS para
+            FROM slots s JOIN documents p ON p.doc_id = s.src
+            WHERE trim(p.text) <> ''
+          ),
+          freq AS (
+            SELECT para, count(DISTINCT doc_id) AS n_docs
+            FROM pd GROUP BY para
+          )
+          SELECT pd.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_paras,
+                 CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                      * 1000000 // count(*) AS BIGINT) AS dup_ratio_ppm
+          FROM pd JOIN freq f USING (para)
+          GROUP BY pd.doc_id
+          ORDER BY pd.doc_id
+        """,
+        "paragraph_dedup_clean": """
+          WITH n AS (SELECT count(*) AS n FROM documents),
+          slots AS (
+            SELECT d.doc_id, 0 AS pos, d.doc_id % n.n AS src
+            FROM documents d CROSS JOIN n
+            UNION ALL
+            SELECT d.doc_id, 1, (2 * d.doc_id + 1) % n.n
+            FROM documents d CROSS JOIN n WHERE d.doc_id % 5 IN (1, 3)
+            UNION ALL
+            SELECT d.doc_id, 2, (3 * d.doc_id + 5) % n.n
+            FROM documents d CROSS JOIN n WHERE d.doc_id % 5 = 3
+          ),
+          pd AS (
+            SELECT s.doc_id, s.pos, trim(p.text) AS para
+            FROM slots s JOIN documents p ON p.doc_id = s.src
+            WHERE trim(p.text) <> ''
+          ),
+          firsts AS (
+            SELECT para, min(doc_id) AS first_id FROM pd GROUP BY para
+          ),
+          kept AS (
+            SELECT pd.doc_id, pd.pos, pd.para
+            FROM pd JOIN firsts f USING (para)
+            WHERE pd.doc_id = f.first_id
+          ),
+          agg AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+          )
+          SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id
         """,
         # mirrors functions/url.py canonicalize_url_expr + the synthetic
         # URL construction in q_url_canonical_dups; RE2 spells the
