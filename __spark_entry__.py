@@ -307,6 +307,42 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (C4/Dolma-style): emails, IPv4s, and phone
+    numbers replaced by typed placeholders, plus per-class match
+    counts on the raw text.  PII is synthesized deterministically from
+    doc_id (mirrored literally in the oracle SQL) since the fixture
+    corpus contains none; the regex patterns are shared constants
+    restricted to Java-regex/RE2-identical syntax."""
+    from bloom_filters_spark.functions.text import (
+        pii_count_exprs,
+        pii_scrub_expr,
+    )
+
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@mail"), s(7),
+        F.lit(".com"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" cc admin"), d.cast("string"), F.lit("@site.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" tel +1-555-"), F.lpad(s(10000), 4, "0"),
+        F.lit(" ip 10."), s(256), F.lit(".0."), s(100),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", pii_text.alias("pii_text"))
+    counts = pii_count_exprs(F.col("pii_text"))
+    return base.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        pii_scrub_expr(F.col("pii_text")).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
 def _synth_url_expr():
     """Deterministic messy-URL column from doc_id — exercises every
     canonicalization rule (case, www, default port, tracking params,
@@ -883,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "paragraph_dup_stats": q_paragraph_dup_stats,
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
+        "pii_scrub": q_pii_scrub,
         "url_canonical_dups": q_url_canonical_dups,
         "pages_canonical_clusters": q_pages_canonical_clusters,
         "top_event_types": q_top_event_types,
@@ -974,6 +1011,39 @@ def _lang_id_sql():
                  ELSE '{langs[-1]}' END AS lang_pred
           FROM c
         """
+
+
+def _pii_scrub_sql():
+    from bloom_filters_spark.functions.text import (
+        PII_EMAIL_PATTERN,
+        PII_IPV4_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    e, i, p = PII_EMAIL_PATTERN, PII_IPV4_PATTERN, PII_PHONE_PATTERN
+    return f"""
+      WITH pii AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id::VARCHAR || '@mail'
+               || (doc_id % 7)::VARCHAR || '.com'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN ' cc admin' || doc_id::VARCHAR || '@site.org'
+                        ELSE '' END)
+               || ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               || ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+               || (doc_id % 100)::VARCHAR AS pii_text
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(pii_text, '{e}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(pii_text, '{i}')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(pii_text, '{p}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(
+          pii_text, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+          '{p}', '<PHONE>', 'g') AS scrubbed
+      FROM pii
+      ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1446,6 +1516,10 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id
         """,
+        # PII construction mirrors q_pii_scrub literally; patterns are
+        # the SAME Python constants (Java-regex/RE2-shared syntax), so
+        # replace-all ('g' flag on the RE2 side) and counts agree
+        "pii_scrub": _pii_scrub_sql(),
         # mirrors functions/url.py canonicalize_url_expr + the synthetic
         # URL construction in q_url_canonical_dups; RE2 spells the
         # backref '\\1' and needs the 'g' flag where Spark replaces all

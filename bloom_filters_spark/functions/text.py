@@ -301,3 +301,48 @@ def doc_fingerprint_expr(text: Column) -> Column:
     (lowercased, whitespace collapsed) — the cheap exact-dup key."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax both engines of the correctness
+# gate share semantics for (Java regex on Spark, RE2 on DuckDB): no
+# lookaround, no backrefs, ASCII classes and `\b` only.  They are the
+# C4/Dolma-style cheap structural redactors, not validators — a few
+# false positives are the accepted cost; false negatives (lost
+# redactions) are what the shapes minimize.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_PATTERN = r"\+\d{1,3}[- ]?\d{3,4}[- ]?\d{3,6}\b"
+
+_PII_ORDER = (
+    (PII_EMAIL_PATTERN, "<EMAIL>"),
+    (PII_IPV4_PATTERN, "<IP>"),
+    (PII_PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, then international phone numbers
+    with typed placeholder tokens.  Order matters and is fixed:
+    emails first (their local parts contain digit runs a later phone
+    pass could shred), then IPs, then phones.  Pure JVM
+    ``regexp_replace`` chain — codegen'd, no Python."""
+    out = text
+    for pattern, token in _PII_ORDER:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count_exprs(text: Column) -> dict:
+    """Match counts per PII class on the RAW text (before scrubbing),
+    as ``{"n_emails": Column, "n_ips": Column, "n_phones": Column}`` —
+    the audit-side dual of ``pii_scrub_expr`` for redaction-rate
+    dashboards and filter thresholds."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_PATTERN)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_PATTERN)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_PATTERN)),
+    }

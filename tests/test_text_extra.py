@@ -131,3 +131,79 @@ def test_dup_word_frac(spark):
         return math.floor((1.0 - len(set(toks)) / len(toks)) * 1000000.0)
 
     assert got == [oracle(t) for t in TEXTS]
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_each_class(spark):
+    from bloom_filters_spark.functions.text import (
+        pii_count_exprs,
+        pii_scrub_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail first.last+tag@sub.example.co.uk ok"),
+        (2, "server at 192.168.001.5, port open"),
+        (3, "call +44 7911 123456 or +1-555-0042 now"),
+        (4, "no pii here, just 1.5 and version 10.2"),
+        (5, "a@b.io at 8.8.8.8 tel +33-123-456"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = pii_count_exprs(F.col("t"))
+    got = {
+        r["id"]: (r["s"], r["e"], r["i"], r["p"])
+        for r in df.select(
+            "id",
+            pii_scrub_expr(F.col("t")).alias("s"),
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            counts["n_phones"].alias("p"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> ok", 1, 0, 0)
+    assert got[2] == ("server at <IP>, port open", 0, 1, 0)
+    assert got[3] == ("call <PHONE> or <PHONE> now", 0, 0, 2)
+    # decimals / short dotted versions must NOT be redacted
+    assert got[4] == ("no pii here, just 1.5 and version 10.2", 0, 0, 0)
+    assert got[5] == ("<EMAIL> at <IP> tel <PHONE>", 1, 1, 1)
+
+
+def test_pii_patterns_match_duckdb_re2(spark):
+    """The oracle contract: Java regex and RE2 must agree on these
+    patterns for replace-all and match counts."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bloom_filters_spark.functions.text import (
+        PII_EMAIL_PATTERN,
+        PII_IPV4_PATTERN,
+        PII_PHONE_PATTERN,
+        pii_scrub_expr,
+    )
+
+    texts = [
+        "x user.name%x+y@a-b.c-d.org y",
+        "edge 1.2.3.4. and 255.255.255.255end",
+        "+1 5550042 vs +123-4567-890123 vs +12",
+        "a@b@c.com double-at",
+        "10.0.0.1a not-an-ip-boundary",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    spark_out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", pii_scrub_expr(F.col("t")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (duck,) = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "?, ?, '<EMAIL>', 'g'), ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            [t, PII_EMAIL_PATTERN, PII_IPV4_PATTERN, PII_PHONE_PATTERN],
+        ).fetchone()
+        assert spark_out[i] == duck, (t, spark_out[i], duck)
