@@ -29,6 +29,9 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "repetition_stats",
+    "paragraph_dup_stats",
+    "paragraph_dedup_clean",
+    "pii_scrub",
     "url_canonical_dups",
     "pages_canonical_clusters",
     "top_event_types",
