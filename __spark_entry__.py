@@ -340,7 +340,7 @@ def q_pii_scrub(spark, sf_dir):
         counts["n_ips"].cast("long").alias("n_ips"),
         counts["n_phones"].cast("long").alias("n_phones"),
         pii_scrub_expr(F.col("pii_text")).alias("scrubbed"),
-    ).orderBy("doc_id")
+    )
 
 
 def _synth_url_expr():
@@ -448,9 +448,7 @@ def q_paragraph_dup_stats(spark, sf_dir):
     integer ppm."""
     from bloom_filters_spark.operators.paragraphs import paragraph_dup_stats
 
-    return paragraph_dup_stats(_synth_para_docs(spark, sf_dir)).orderBy(
-        "doc_id"
-    )
+    return paragraph_dup_stats(_synth_para_docs(spark, sf_dir))
 
 
 def q_paragraph_dedup_clean(spark, sf_dir):
@@ -461,9 +459,7 @@ def q_paragraph_dedup_clean(spark, sf_dir):
         paragraph_dedup_clean,
     )
 
-    return paragraph_dedup_clean(_synth_para_docs(spark, sf_dir)).orderBy(
-        "doc_id"
-    )
+    return paragraph_dedup_clean(_synth_para_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

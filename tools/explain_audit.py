@@ -55,6 +55,21 @@ CHECKS = {
     # audited separately via EXTRA_PLANS below
     "substring_dup_pairs": ([r"Broadcast"], [r"BatchEvalPython"]),
     "embedding_ann_recall": ([r"Broadcast"], [r"BatchEvalPython"]),
+    # paragraph dedup: corpus scan pruned to (doc_id, text), partial
+    # (map-side) aggregation before the exchange, zero Python
+    "paragraph_dup_stats": (
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text", r"HashAggregate"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "paragraph_dedup_clean": (
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    # pii scrub: pure codegen'd regexp chain over the pruned scan
+    "pii_scrub": (
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
+        [r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
+    ),
 }
 
 
