@@ -307,6 +307,23 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 = 3 play the
+    eval set; every other document is flagged if it shares an 8-token
+    rolling gram with any of them, with the distinct-shared-gram count.
+    Corpus side is one fused Arrow gram pass + a broadcast semi-join
+    (the eval gram set is the small side by construction at any scale).
+    """
+    from bloom_filters_spark.operators.substring import (
+        decontamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return decontamination_flags(train, bench, L=8)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (C4/Dolma-style): emails, IPv4s, and phone
     numbers replaced by typed placeholders, plus per-class match
@@ -916,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dup_stats": q_paragraph_dup_stats,
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "pii_scrub": q_pii_scrub,
+        "decontamination": q_decontamination,
         "url_canonical_dups": q_url_canonical_dups,
         "pages_canonical_clusters": q_pages_canonical_clusters,
         "top_event_types": q_top_event_types,
@@ -1511,6 +1529,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id
+        """,
+        # gram semantics identical to substring_dup_pairs' oracle (8-token
+        # rolling grams, per-doc distinct); the engine joins on 64-bit
+        # gram hashes where the oracle joins on gram strings — identical
+        # flags absent a hash collision (~0 at fixture scale)
+        "decontamination": f"""
+          WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+          ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 7, 0) + 1),
+                     i -> array_to_string(t[i:i+7], ' ')
+                   )) AS gs
+            FROM toks WHERE len(t) >= 8
+          ), bench AS (
+            SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 3
+          ), train AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 17 <> 3
+          ), hits AS (
+            SELECT doc_id, count(*) AS n
+            FROM train JOIN bench USING (gram) GROUP BY doc_id
+          )
+          SELECT d.doc_id,
+                 CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                 coalesce(h.n, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3) d
+          LEFT JOIN hits h USING (doc_id)
         """,
         # PII construction mirrors q_pii_scrub literally; patterns are
         # the SAME Python constants (Java-regex/RE2-shared syntax), so

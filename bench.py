@@ -32,6 +32,7 @@ HEADLINE = [
     "paragraph_dup_stats",
     "paragraph_dedup_clean",
     "pii_scrub",
+    "decontamination",
     "url_canonical_dups",
     "pages_canonical_clusters",
     "top_event_types",

@@ -294,3 +294,52 @@ def substring_lcs_pairs(df: DataFrame, L: int = 8, id_col: str = "doc_id",
     return joined.mapInArrow(
         compute, "id1 long, id2 long, lcs_tokens long"
     )
+
+
+def decontamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document sharing at least one rolling L-token-gram with an
+    evaluation corpus, plus the count of distinct shared grams (the
+    severity knob — filter at >=1 for strictness, higher to tolerate
+    idiom collisions).  Returns ``(id, n_contaminated_grams,
+    contaminated)`` for EVERY training document.
+
+    The 100 TB shape is what makes this one cheap: eval sets are tiny
+    (10³-10⁶ docs) next to the corpus, so their distinct gram-hash set
+    broadcasts and the whole operator is the corpus-side fused Arrow
+    gram pass (one scan, 16-byte rows, per-doc-distinct before emit)
+    plus a broadcast semi-join — zero corpus shuffles before the
+    per-doc count aggregation, which is algebraic (map-side combined).
+    Documents with fewer than L tokens emit no grams and come back
+    ``contaminated = false`` by construction.
+    """
+    doc_grams = gram_hash_rows(docs, L, id_col, text_col)
+    bench_grams = (
+        gram_hash_rows(benchmark, L, id_col, text_col)
+        .select("gram_hash")
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("n_contaminated_grams"), F.lit(0).cast("long")
+            ).alias("n_contaminated_grams"),
+            (
+                F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0
+            ).alias("contaminated"),
+        )
+    )

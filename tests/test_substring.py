@@ -121,3 +121,33 @@ def test_substring_lcs_pairs_parity(spark):
         assert lcs == want and lcs >= 8
     # doc 3 is a verbatim substring of docs 0 and 1
     assert (0, 3) in got and (1, 3) in got and (0, 1) in got
+
+
+def test_decontamination_flags(spark):
+    from bloom_filters_spark.operators.substring import decontamination_flags
+
+    eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {eight} outro"),        # shares the 8-gram
+            (2, "a b c d e f g h i j"),         # clean
+            (3, "t1 t2 t3 t4 t5 t6 t7"),        # 7 tokens: no grams at all
+            (4, f"{eight} mid {eight}"),        # several shared grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"prefix {eight} suffix")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in decontamination_flags(train, bench, L=8).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)   # sub-L docs present, unflagged
+    # doc 4: distinct shared grams = the 8-gram itself plus the rolling
+    # grams of "... t8 mid t1 ..." that also occur in bench?  none do,
+    # but "t1..t8" appears twice -> counted ONCE (per-doc distinct)
+    assert got[4] == (1, True)
+    assert set(got) == {1, 2, 3, 4}

@@ -70,6 +70,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
     ),
+    # decontamination: eval gram set must BROADCAST (never a sort-merge
+    # against the corpus side); gram pass is mapInArrow by design
+    "decontamination": (
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*doc_id"],
+        [r"BatchEvalPython", r"SortMergeJoin"],
+    ),
 }
 
 
