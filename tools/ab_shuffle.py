@@ -63,6 +63,11 @@ VARIANTS: dict[str, dict] = {
         "spark.shuffle.file.buffer": "128k",
         "spark.shuffle.localDisk.file.output.buffer": "128k",
     },
+    # force the serialized sort-shuffle writer in place of bypass-merge
+    # (which at partitions <= 200 writes one file PER reduce partition
+    # per map task — 32 streams/task here; the sort path writes one
+    # spill file + index per task, sequential IO, one write buffer)
+    "sortshuf": {"spark.shuffle.sort.bypassMergeThreshold": "1"},
     # candidate production default from the screening round: the two
     # compatible winners together (compression off + bigger shuffle
     # write buffers); confirmed head-to-head before adoption
