@@ -115,6 +115,57 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     )
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental (rolling-crawl) near-dup: docs with doc_id % 10 = 5
+    play the NEW increment, the rest the existing corpus; verified
+    pairs (id1=new, id2=corpus) at exact Jaccard >= 0.7.  Candidates
+    come from the production cross band join (corpus never re-paired
+    against itself); verify uses string shingle sets so the DuckDB
+    all-cross-pairs oracle replicates bit-for-bit (bands=64/r=2 makes
+    candidate recall ~certain, as in near_dup_pairs_exact)."""
+    from bloom_filters_spark.operators.shingles import string_shingle_sets_udf
+    from bloom_filters_spark.pipeline import (
+        NearDupConfig,
+        incremental_candidates,
+    )
+
+    cfg = NearDupConfig(threshold=0.7, num_hashes=128, bands=64)
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 5)
+    corpus = docs.filter(F.col("doc_id") % 10 != 5)
+    cands = incremental_candidates(new, corpus, cfg).persist()
+    ids = (
+        cands.select(F.col("id1").alias("doc_id"))
+        .unionByName(cands.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    par = spark.sparkContext.defaultParallelism
+    sh_udf = string_shingle_sets_udf(cfg.shingle_size)
+    sets = docs.join(ids, "doc_id", "left_semi").repartition(
+        par, "doc_id"
+    ).select(
+        "doc_id", sh_udf(F.col("text")).alias("sh"),
+    ).filter(F.size("sh") > 0).persist()
+    a = sets.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    b = sets.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cands.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            inter.alias("inter"),
+            union.alias("n_union"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
 def q_pages_near_dup_urls(spark, sf_dir):
     """input_hint surface: url-keyed near-dup clustering over a pages
     table (url, warc_ts, html, lang) derived deterministically from the
@@ -918,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "pages_near_dup_urls": q_pages_near_dup_urls,
         "near_dup_pairs_exact": q_near_dup_pairs_exact,
+        "incremental_near_dup": q_incremental_near_dup,
         "dedup_exact": q_dedup_exact,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "media_image_features": q_media_image_features,
@@ -1310,6 +1362,19 @@ def oracle_sql() -> dict[str, str]:
                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
                    AS jaccard
           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+        """,
+        "incremental_near_dup": shingle_sets
+        + """
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
+                 round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                   AS jaccard
+          FROM sets a JOIN sets b
+            ON a.doc_id % 10 = 5 AND b.doc_id % 10 <> 5
           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
         """,

@@ -19,6 +19,7 @@ HEADLINE = [
     "near_dup_clusters",
     "pages_near_dup_urls",
     "near_dup_pairs_exact",
+    "incremental_near_dup",
     "dedup_exact",
     "doc_fingerprints",
     "simhash_dup_pairs",

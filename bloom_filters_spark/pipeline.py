@@ -612,3 +612,98 @@ def near_dup_pipeline(
     if doc_rep is not None:
         doc_rep.unpersist()
     return clusters
+
+
+def incremental_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    cfg: NearDupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate (id1=new, id2=corpus) pairs between a document
+    increment and an existing corpus — the rolling-crawl shape: the
+    corpus is NEVER re-paired against itself, so daily cost is
+    proportional to the increment, not the archive.
+
+    Pass ``corpus_bands`` (the ``(id, band_id, band_hash)`` table a
+    previous full run checkpointed via ``checkpoint.py``) to skip
+    recomputing corpus bands entirely; then the corpus side of this
+    operator is a table READ and the only kernel work is one fused
+    Arrow pass over the (small) new batch.  The band equi-join touches
+    corpus rows only on matched keys.  Hot (boilerplate) bands are the
+    skew risk exactly as in the self-join path: prune them upstream
+    with ``cfg.boilerplate_max_df``; residual imbalance is AQE
+    skew-join territory (plain equi-join here — no collect_list state
+    on the corpus side at all).
+    """
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+
+    cfg = cfg or NearDupConfig()
+    if corpus_bands is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or corpus_bands")
+        corpus_bands = fused_band_rows(
+            corpus_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
+            cfg.shingle_size, cfg.max_value, id_col, text_col,
+            hash_bits=cfg.band_hash_bits,
+        )
+    new_bands = fused_band_rows(
+        new_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
+        cfg.shingle_size, cfg.max_value, id_col, text_col,
+        hash_bits=cfg.band_hash_bits,
+    )
+    bn = new_bands.select(
+        "band_id", "band_hash", F.col(id_col).alias("id1")
+    )
+    bo = corpus_bands.select(
+        "band_id", "band_hash", F.col(id_col).alias("id2")
+    )
+    return (
+        bn.join(bo, ["band_id", "band_hash"])
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def near_dup_against(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    cfg: NearDupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs (id1=new, id2=corpus, jaccard) between an
+    increment and an existing corpus: ``incremental_candidates`` + the
+    production verify stage (estimate / exact / both per
+    ``cfg.verify``), with signatures computed ONLY for pair
+    participants on both sides.  Ids must be disjoint across the two
+    tables (they address one namespace, as in a rolling crawl).
+    ``corpus_docs`` supplies participant text for the verify stage even
+    when ``corpus_bands`` short-circuits the banding."""
+    from bloom_filters_spark.operators.arrow_sig import signatures_arrow
+
+    cfg = cfg or NearDupConfig()
+    cands = incremental_candidates(
+        new_docs, corpus_docs, cfg, id_col, text_col, corpus_bands
+    ).persist()
+    participants = new_docs.select(id_col, text_col).unionByName(
+        corpus_docs.select(id_col, text_col)
+    )
+    ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .unionByName(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    participants = participants.join(F.broadcast(ids), id_col, "left_semi")
+    sigs = signatures_arrow(
+        participants, cfg.factory(),
+        shingle_size=cfg.shingle_size, max_value=cfg.max_value,
+        id_col=id_col, text_col=text_col,
+        need_shingles=cfg.verify in ("exact", "both"),
+    )
+    out = verified_pairs(cands, sigs, cfg, id_col)
+    cands.unpersist()
+    return out

@@ -478,3 +478,51 @@ def test_band_hash_bits_32_same_clusters(spark, documents_texts):
     assert dict(bands32.dtypes)["band_hash"] == "int"
     with pytest.raises(ValueError):
         NearDupConfig(band_hash_bits=16)
+
+
+def test_near_dup_against_increment(spark):
+    """Incremental dedup: new docs pair only against the corpus, the
+    corpus is never re-paired against itself, and a pre-computed band
+    table short-circuits corpus banding with identical results."""
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+    from bloom_filters_spark.pipeline import (
+        NearDupConfig,
+        near_dup_against,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " tokX"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different words entirely here today"),
+            # near-dups INSIDE the corpus must NOT be emitted
+            (3, base + " extra"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, near), (11, "unrelated fresh content nothing shared")],
+        "doc_id long, text string",
+    )
+    cfg = NearDupConfig(threshold=0.7, num_hashes=128, bands=64,
+                        verify="exact")
+    got = {
+        (r["id1"], r["id2"])
+        for r in near_dup_against(new, corpus, cfg).collect()
+    }
+    assert (10, 1) in got and (10, 3) in got
+    assert all(i1 == 10 for i1, _ in got)     # only new-side ids on id1
+    assert (1, 3) not in got and (3, 1) not in got
+
+    bands = fused_band_rows(
+        corpus, cfg.factory(), cfg.bands, cfg.rows_per_band,
+        cfg.shingle_size, cfg.max_value, "doc_id", "text",
+    )
+    got2 = {
+        (r["id1"], r["id2"])
+        for r in near_dup_against(
+            new, corpus, cfg, corpus_bands=bands
+        ).collect()
+    }
+    assert got2 == got

@@ -70,6 +70,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
     ),
+    # incremental dedup: both sides feed the band join from mapInArrow
+    # kernels; corpus must carry a pushed doc_id filter, no scalar Python
+    "incremental_near_dup": (
+        [r"PushedFilters: \[.*doc_id"],
+        [r"BatchEvalPython"],
+    ),
     # decontamination: eval gram set must BROADCAST (never a sort-merge
     # against the corpus side); gram pass is mapInArrow by design
     "decontamination": (
