@@ -115,6 +115,36 @@ def q_near_dup_pairs_exact(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Representative selection: per near-dup cluster keep the LONGEST
+    member (most content — the usual production policy, not min-id),
+    tiebreak min doc_id.  Integer-exact ordering on the fixture's
+    n_chars column, so the oracle replicates without float-ordering
+    hazards.  Output: (cluster_id, kept_doc_id, n_members)."""
+    from bloom_filters_spark.pipeline import NearDupConfig, near_dup_pipeline
+
+    cfg = NearDupConfig(
+        threshold=0.7, num_hashes=128, bands=64, verify="exact",
+        max_band_group=4096,
+    )
+    docs = _docs(spark, sf_dir)
+    clusters = near_dup_pipeline(docs, cfg)
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "kept_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental (rolling-crawl) near-dup: docs with doc_id % 10 = 5
     play the NEW increment, the rest the existing corpus; verified
@@ -970,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_near_dup_urls": q_pages_near_dup_urls,
         "near_dup_pairs_exact": q_near_dup_pairs_exact,
         "incremental_near_dup": q_incremental_near_dup,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_exact": q_dedup_exact,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "media_image_features": q_media_image_features,
@@ -1364,6 +1395,47 @@ def oracle_sql() -> dict[str, str]:
           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
           WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+        """,
+        "dedup_keep_best": """
+          WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS t
+            FROM documents
+          ), sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 2, 1) + 1),
+                     i -> array_to_string(t[i:i+2], ' ')
+                   )) AS sh
+            FROM toks WHERE len(t) > 0
+          ), pair AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= 0.7
+          ), edges AS (
+            SELECT id1 AS s, id2 AS d FROM pair
+            UNION ALL
+            SELECT id2 AS s, id1 AS d FROM pair
+          ), lab(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, l.label FROM lab l JOIN edges e ON e.s = l.id
+          ), clusters AS (
+            SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id
+          ), ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c.cluster_id
+                     ORDER BY d.n_chars DESC, c.doc_id ASC
+                   ) AS rn
+            FROM clusters c JOIN documents d USING (doc_id)
+          )
+          SELECT cluster_id,
+                 max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+                 CAST(count(*) AS BIGINT) AS n_members
+          FROM ranked GROUP BY cluster_id
         """,
         "incremental_near_dup": shingle_sets
         + """

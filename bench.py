@@ -20,6 +20,7 @@ HEADLINE = [
     "pages_near_dup_urls",
     "near_dup_pairs_exact",
     "incremental_near_dup",
+    "dedup_keep_best",
     "dedup_exact",
     "doc_fingerprints",
     "simhash_dup_pairs",
