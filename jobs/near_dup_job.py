@@ -9,7 +9,12 @@ Ship the library as a zip and submit (north-rule deployment shape):
         --input  /path/to/docs.parquet \
         --output /path/to/clusters \
         [--pages] [--canonicalize-urls] [--lang en] [--threshold 0.8] \
-        [--checkpoint-root /path/to/ckpt | --boilerplate-max-df 0.3]
+        [--checkpoint-root /path/to/ckpt | --boilerplate-max-df 0.3] \
+        [--against /path/to/existing_corpus.parquet]
+
+``--against`` switches to incremental mode: --input is a new crawl
+increment, the job emits verified (id1=new, id2=corpus, jaccard)
+pairs, and the existing corpus is never re-paired against itself.
 
 (``--checkpoint-root`` and ``--boilerplate-max-df``/``--exact-prededup
 on`` are mutually exclusive: the checkpointed signature stage has no
@@ -51,6 +56,12 @@ def main():
                    choices=["auto", "on", "off"])
     p.add_argument("--checkpoint-root", default=None)
     p.add_argument("--checkpoint-buckets", type=int, default=32)
+    p.add_argument("--against", default=None,
+                   help="incremental mode: parquet path of the EXISTING "
+                        "corpus; --input is the new increment.  Emits "
+                        "verified (id1=new, id2=corpus, jaccard) pairs "
+                        "instead of clusters — the corpus is never "
+                        "re-paired against itself")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -83,6 +94,36 @@ def main():
         p.error("--canonicalize-urls requires --pages (url-keyed input)")
     df = spark.read.parquet(args.input)
     t0 = time.time()
+    if args.against:
+        if args.pages or args.checkpoint_root:
+            p.error("--against is a standalone mode (plain doc tables, "
+                    "no --pages/--checkpoint-root)")
+        from bloom_filters_spark.pipeline import near_dup_against
+
+        corpus = spark.read.parquet(args.against)
+        pairs = near_dup_against(
+            df, corpus, cfg, id_col=args.id_col, text_col=args.text_col
+        )
+        pairs.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        metrics = {
+            "input": args.input,
+            "against": args.against,
+            "pairs": out.count(),
+            "wall_sec": round(time.time() - t0, 2),
+            "config": {
+                "threshold": args.threshold,
+                "num_hashes": args.num_hashes,
+                "bands": args.bands,
+                "shingle_size": args.shingle_size,
+            },
+        }
+        line = json.dumps(metrics)
+        print(line)
+        with open(args.output.rstrip("/") + "_metrics.json", "w") as f:
+            f.write(line + "\n")
+        spark.stop()
+        return
     if args.pages:
         clusters = pages_near_dup(df, cfg, lang=args.lang,
                                   canonicalize_urls=args.canonicalize_urls)
