@@ -561,6 +561,90 @@ def q_paragraph_dedup_clean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sampling / data selection (training-data curation, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark, sf_dir):
+    """Temperature sampling (alpha=0.5) over documents stratified by
+    lang: stratum s keeps min(N_s, ceil(T·W_s/ΣW)) docs with
+    W_s = floor(sqrt(N_s)·2^20) fixed-point weights (integer-summed, so
+    quotas are bit-deterministic across engines) and T = half the
+    corpus.  Kept rows are the quota-smallest md5(doc_id) per stratum —
+    the engine-portable stand-in for seeded randomness."""
+    from bloom_filters_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    budget = docs.count() // 2
+    return stratified_sample(
+        docs, "lang", budget=budget, alpha=0.5
+    ).select("doc_id", "lang")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Shuffle-free deterministic 25% sample: keep docs whose md5 32-bit
+    hex prefix falls under the fraction cut — a pure map-side filter
+    (the 100 TB sampling path; no exchange, binomial around 0.25)."""
+    from bloom_filters_spark.operators.sampling import (
+        hash_threshold_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return hash_threshold_sample(docs, 0.25)
+
+
+def q_domain_cap(spark, sf_dir):
+    """C4-style per-domain cap over the synthetic messy URLs: at most 3
+    docs per host (lowercased, www/port-stripped), deterministically the
+    3 smallest md5(doc_id) within the host."""
+    from bloom_filters_spark.functions.url import host_expr
+    from bloom_filters_spark.operators.sampling import per_stratum_cap
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", host_expr(_synth_url_expr()).alias("host")
+    )
+    return per_stratum_cap(docs, "host", 3)
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Data selection under a token budget: score = floor(100·stopword
+    ratio) as a coarse quality bucket, walk buckets best-first and keep
+    the (score DESC, md5(doc_id)) prefix whose cumulative token count
+    stays within half the corpus tokens.  Distributed two-phase plan
+    (bucket histogram → driver boundary resolve → boundary-only window)
+    proven equivalent to the oracle's single global cumsum."""
+    from bloom_filters_spark.functions.text import (
+        STOPWORDS,
+        token_count_expr,
+    )
+    from bloom_filters_spark.operators.sampling import token_budget_select
+
+    text = F.col("text")
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    scored = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            token_count_expr(text).alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+                "_n_sw"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("_n_sw") * F.lit(100.0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("score"),
+        )
+    )
+    return token_budget_select(
+        scored, "score", "n_tokens", budget_frac=0.5
+    ).select("doc_id", "score", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
 
@@ -1040,6 +1124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mutual_nn": q_embedding_mutual_nn,
         "xor_membership": q_xor_membership,
         "set_reconcile_customers": q_set_reconcile_customers,
+        "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
+        "domain_cap": q_domain_cap,
+        "token_budget_select": q_token_budget_select,
     }
 
 
@@ -1988,5 +2076,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders
             WHERE o_orderdate < TIMESTAMP '1995-01-01'
           )
+        """,
+        # mirrors operators/sampling.py stratified_sample(budget, a=.5):
+        # fixed-point weights floor(sqrt(n)·2^20) summed as INTEGERS
+        # (order-free exact — a float weight sum would be ulp-unstable
+        # across engines); remaining float ops are per-row IEEE
+        # (sqrt correctly rounded, (budget·w)/wtot same assoc order)
+        "stratified_sample": """
+          WITH c AS (
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+          ), w AS (
+            SELECT lang, n,
+                   CAST(floor(sqrt(n::DOUBLE) * 1048576.0) AS BIGINT) AS wt
+            FROM c
+          ), t AS (
+            SELECT lang, n, wt, sum(wt) OVER () AS wtot,
+                   (SELECT count(*) // 2 FROM documents) AS budget
+            FROM w
+          ), q AS (
+            SELECT lang,
+                   least(n, CAST(ceil((budget::DOUBLE * wt::DOUBLE)
+                                      / wtot::DOUBLE) AS BIGINT)) AS quota
+            FROM t
+          ), r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM documents
+          )
+          SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+          WHERE r.rk <= q.quota
+        """,
+        # mirrors sampling.hash_threshold_sample(0.25): 32-bit hex cut
+        # 0.25·2^32 = 0x40000000; zero-padded-hex string compare is
+        # identical in both engines
+        "hash_sample": """
+          SELECT doc_id, lang FROM documents
+          WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '40000000'
+        """,
+        # host mirrors functions/url.py host_expr over the same synth
+        # URL as url_canonical_dups; cap mirrors per_stratum_cap(k=3)
+        "domain_cap": r"""
+          WITH u AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 10)::VARCHAR || '.COM:443'
+                    WHEN doc_id % 3 = 1 THEN 'https://site' || (doc_id % 10)::VARCHAR || '.com'
+                    ELSE 'https://Site' || (doc_id % 10)::VARCHAR || '.com:443' END)
+              ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/a/' || (doc_id % 5)::VARCHAR || '?utm_source=x&id=' || (doc_id % 2)::VARCHAR
+                    WHEN doc_id % 4 = 1 THEN '/a/' || (doc_id % 5)::VARCHAR || '?id=' || (doc_id % 2)::VARCHAR || '&fbclid=z#frag'
+                    WHEN doc_id % 4 = 2 THEN '/a/' || (doc_id % 5)::VARCHAR || '/#top'
+                    ELSE '/a/' || (doc_id % 5)::VARCHAR END) AS url
+            FROM documents
+          ), h AS (
+            SELECT doc_id,
+              regexp_replace(regexp_replace(
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                '^www\.', ''), ':[0-9]+$', '') AS host
+            FROM u
+          ), r AS (
+            SELECT doc_id, host,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM h
+          )
+          SELECT doc_id, host FROM r WHERE rk <= 3
+        """,
+        # mirrors sampling.token_budget_select(budget_frac=.5) as ONE
+        # global cumsum — the operator's two-phase plan (bucket
+        # histogram → driver boundary → boundary-only window) is
+        # equivalent because cum is monotone; int cumsums are exact
+        "token_budget_select": f"""
+          WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+          ), s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   {_sw_count("en")} AS n_sw
+            FROM base
+          ), sc AS (
+            SELECT doc_id, n_tokens,
+              CAST(floor((n_sw * 100.0) / greatest(n_tokens, 1)) AS BIGINT)
+                AS score,
+              md5(doc_id::VARCHAR) AS h
+            FROM s
+          ), o AS (
+            SELECT doc_id, score, n_tokens,
+              sum(n_tokens) OVER (ORDER BY score DESC, h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sc
+          )
+          SELECT doc_id, score, n_tokens FROM o
+          WHERE cum <= (SELECT sum(n_tokens) // 2 FROM sc)
         """,
     }

@@ -60,6 +60,10 @@ HEADLINE = [
     "set_reconcile_customers",
     "media_image_features",
     "media_phash_dups",
+    "stratified_sample",
+    "hash_sample",
+    "domain_cap",
+    "token_budget_select",
 ]
 
 

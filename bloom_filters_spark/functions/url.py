@@ -31,6 +31,15 @@ REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 TRACKING_RE = r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*"
 
 
+def host_expr(url: Column) -> Column:
+    """Registrable host key for per-domain operators (caps, stats,
+    stratified sampling): lowercase authority with the ``www.`` label
+    and any ``:port`` stripped.  Pure JVM regexp chain (codegen'd)."""
+    host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
 def canonicalize_url_expr(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, HOST_RE, 1))

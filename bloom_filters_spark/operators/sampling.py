@@ -1,0 +1,259 @@
+"""Deterministic sampling and data-selection operators.
+
+Engine additions beyond the reference (SURVEY §2.7): the reference
+library (Callidon/bloom-filters) has no sampling surface; these are the
+curation steps a web-scale training pipeline runs right after dedup —
+per-language / per-domain rebalancing and "fill a token budget with the
+best documents".
+
+Design rules shared by every operator here:
+
+* **Deterministic, engine-portable randomness.**  Rows are ordered /
+  thresholded by ``md5(key)`` — Spark and DuckDB produce identical
+  lowercase hex, so the *exact same rows* are selected by the oracle
+  SQL, by a re-run, and by a resumed job.  ``rand(seed)`` is rejected
+  on purpose: its stream depends on partitioning, so a repartitioned
+  retry would sample a different set.
+* **Declared plans.**  Everything is window/agg/join DataFrame ops —
+  no Python in the row path — so Catalyst keeps pushdown/pruning and
+  whole-stage codegen.
+
+Scale notes (100 TB):
+
+* ``stratified_sample`` sorts within each stratum (one hash-partition
+  exchange on the stratum key).  A stratum is a language or a domain —
+  a single stratum holding tens of TB makes the per-stratum sort the
+  straggler; for those use :func:`hash_threshold_sample`, which is
+  **shuffle-free** (a map-side filter) at the cost of exact-count
+  control (binomial rate around the target fraction).
+* ``token_budget_select`` never globally sorts the corpus: it
+  aggregates per score-bucket (small), resolves the budget boundary on
+  the driver over the bucket histogram, and only the single boundary
+  bucket is ordered.  The caller must pass a *coarse* integer score
+  (bucketed — e.g. 0..100); ``max_buckets`` guards the driver collect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_hash_expr(key_col: str):
+    """Portable deterministic per-row hash used as the sampling order."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def hash_threshold_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Shuffle-free deterministic sample: keep rows whose md5(key) prefix
+    falls below ``fraction`` of the 32-bit hex space.
+
+    This is the 100 TB path: a pure map-side filter (no exchange, no
+    sort, whole-stage codegen), reproducible across engines and runs.
+    The kept count is binomial around ``fraction * n`` rather than
+    exact; use :func:`stratified_sample` when exact per-stratum counts
+    matter and the strata fit a sort.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df
+    # 8 hex chars = 32 bits of the md5; lexicographic compare on the
+    # zero-padded hex threshold is identical in Spark and DuckDB.
+    cut = format(int(fraction * (1 << 32)), "08x")
+    return df.filter(F.substring(rank_hash_expr(key_col), 1, 8) < F.lit(cut))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str = "doc_id",
+    fraction: Optional[float] = None,
+    budget: Optional[int] = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Exact-count deterministic stratified sample.
+
+    Two modes:
+
+    * ``fraction=f`` — keep ``ceil(f * N_s)`` rows from each stratum
+      ``s`` (proportional sampling).
+    * ``budget=T, alpha=a`` — temperature sampling: stratum ``s`` gets
+      ``k_s = min(N_s, ceil(T * W_s / Σ_t W_t))`` rows, where
+      ``W_s = floor(N_s^a * 2^20)`` is a **fixed-point** weight.  ``a=1``
+      reproduces proportional allocation of ``T``; ``a→0`` flattens
+      toward uniform-per-stratum (the multilingual-rebalancing trick).
+
+    Within a stratum, the kept rows are the ``k_s`` smallest by
+    ``md5(key)`` — deterministic, engine-portable, order-independent.
+
+    Determinism of the quotas: the weights are summed as *integers*
+    (fixed-point), so ``Σ W_t`` is exact in any aggregation order —
+    a float weight sum would differ by ulps between engines (and
+    between retries) and could flip a ``ceil`` at a quota boundary.
+    The remaining float ops (sqrt, one mul, one div, ceil) are
+    per-row and IEEE-identical across engines for ``alpha`` in
+    {0.5, 1.0} (``sqrt`` is correctly rounded; ``pow`` for other
+    alphas is run-deterministic but only ~1-ulp portable).
+
+    Plan: one exchange on ``strata_col`` (window rank), plus a tiny
+    per-stratum count aggregate broadcast back.  Skewed mega-strata
+    make the rank sort the straggler — see module docstring for the
+    shuffle-free alternative.
+    """
+    if (fraction is None) == (budget is None):
+        raise ValueError("pass exactly one of fraction= or budget=")
+    h = rank_hash_expr(key_col).alias("_h")
+    w = Window.partitionBy(strata_col).orderBy("_h", key_col)
+    ranked = df.withColumn("_h", h).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    if fraction is not None:
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+        quota = F.ceil(F.lit(float(fraction)) * F.col("_n").cast("double"))
+    else:
+        n_dbl = F.col("_n").cast("double")
+        if alpha == 0.5:
+            pw = F.sqrt(n_dbl)
+        elif alpha == 1.0:
+            pw = n_dbl
+        else:
+            pw = F.pow(n_dbl, F.lit(float(alpha)))
+        scale = float(1 << 20)
+        counts = counts.withColumn(
+            "_w", F.floor(pw * F.lit(scale)).cast("long")
+        ).withColumn(
+            # integer sum over the tiny per-stratum histogram:
+            # order-free exact, unlike a float sum
+            "_wtot", F.sum("_w").over(Window.partitionBy())
+        )
+        quota = F.least(
+            F.col("_n"),
+            F.ceil(
+                F.lit(float(budget))
+                * F.col("_w").cast("double")
+                / F.col("_wtot").cast("double")
+            ),
+        )
+    counts = counts.withColumn("_quota", quota)
+    out = (
+        ranked.join(F.broadcast(counts), strata_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_h", "_rk", "_n", "_w", "_wtot", "_quota")
+    )
+    return out
+
+
+def per_stratum_cap(
+    df: DataFrame, strata_col: str, k: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``k`` rows per stratum (C4-style per-domain cap),
+    chosen deterministically as the ``k`` smallest ``md5(key)`` within
+    the stratum.  One exchange on ``strata_col``; same skew caveat as
+    :func:`stratified_sample`."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = Window.partitionBy(strata_col).orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", rank_hash_expr(key_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(int(k)))
+        .drop("_h", "_rk")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    key_col: str = "doc_id",
+    budget: Optional[int] = None,
+    budget_frac: Optional[float] = None,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Data selection under a token budget: walk documents from the
+    highest ``score_col`` bucket down and keep the prefix whose
+    cumulative ``token_col`` stays within the budget.
+
+    Semantics (identical to one global ordered cumulative sum): order
+    all rows by ``(score DESC, md5(key), key)``; keep each row iff the
+    running token total *including it* is ≤ budget.  The prefix rule —
+    once the budget is hit nothing later is admitted, even if it would
+    fit — keeps the output a deterministic function of the corpus.
+
+    Distributed plan (no global sort of the corpus):
+
+    1. aggregate tokens per score bucket — one small shuffle;
+    2. resolve the boundary bucket + remaining budget on the driver
+       over the (score → tokens) histogram, sorted descending
+       (``max_buckets`` guards the collect: the score MUST be a coarse
+       integer bucket, e.g. 0..100 — raise, never OOM, past the guard);
+    3. keep full buckets above the boundary with a plain filter
+       (map-side, codegen); order *only the boundary bucket* by
+       ``(md5(key), key)`` for the residual prefix — a single-partition
+       window over ~1/buckets of the data, the same trick as a
+       distributed top-k boundary resolution.
+
+    ``budget_frac`` computes ``budget = floor(frac * Σ tokens)`` from
+    the data (one extra tiny aggregate), so the selection rate is
+    scale-free.
+    """
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget= or budget_frac=")
+    hist = (
+        df.groupBy(score_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_tok"))
+        .orderBy(F.col(score_col).desc())
+    )
+    rows = hist.collect()
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"{len(rows)} distinct {score_col!r} buckets exceeds "
+            f"max_buckets={max_buckets}; pass a coarser integer score "
+            "bucket (this guard exists so the driver histogram collect "
+            "cannot OOM)"
+        )
+    if budget is None:
+        total = sum(r["_tok"] for r in rows)
+        budget = int(budget_frac * total)
+
+    remaining = int(budget)
+    full_scores = []
+    boundary_score = None
+    boundary_budget = 0
+    for r in rows:
+        if r["_tok"] <= remaining:
+            full_scores.append(r[score_col])
+            remaining -= r["_tok"]
+        else:
+            boundary_score = r[score_col]
+            boundary_budget = remaining
+            break
+
+    score = F.col(score_col)
+    if boundary_score is None:
+        # whole corpus fits the budget
+        return df
+    floor_full = min(full_scores) if full_scores else None
+    kept_full = (
+        df.filter(score >= F.lit(floor_full))
+        if floor_full is not None
+        else None
+    )
+    wb = Window.orderBy("_h", key_col)
+    boundary = (
+        df.filter(score == F.lit(boundary_score))
+        .withColumn("_h", rank_hash_expr(key_col))
+        .withColumn(
+            "_cum", F.sum(F.col(token_col).cast("long")).over(wb)
+        )
+        .filter(F.col("_cum") <= F.lit(boundary_budget))
+        .drop("_h", "_cum")
+    )
+    return boundary if kept_full is None else kept_full.unionByName(boundary)

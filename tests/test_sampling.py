@@ -1,0 +1,179 @@
+"""Sampling / data-selection operators (operators/sampling.py).
+
+Oracle strategy (SURVEY §5): every operator is re-derived in plain
+Python over the collected fixture and compared exactly — the operators
+are deterministic by construction (md5-ordered), so equality is exact,
+not statistical.  The DuckDB cross-engine check lives in the driver
+contract (tools/check_contract.py: stratified_sample / hash_sample /
+domain_cap / token_budget_select).
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.operators.sampling import (
+    hash_threshold_sample,
+    per_stratum_cap,
+    stratified_sample,
+    token_budget_select,
+)
+
+
+def _h(key) -> str:
+    return hashlib.md5(str(key).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 400 rows, 4 skewed strata (sizes 40/80/120/160), deterministic
+    # token counts 0..49 (including zeros to hit cum-ties)
+    rows = []
+    i = 0
+    for s, n in (("a", 40), ("b", 80), ("c", 120), ("d", 160)):
+        for _ in range(n):
+            rows.append((i, s, (i * 7 + 3) % 50))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    ).repartition(7)
+
+
+def test_hash_threshold_rate_and_nesting(docs):
+    base = {r.doc_id for r in docs.collect()}
+    kept25 = {r.doc_id for r in hash_threshold_sample(docs, 0.25).collect()}
+    kept50 = {r.doc_id for r in hash_threshold_sample(docs, 0.50).collect()}
+    # exact replica of the cut in Python
+    cut25 = format(int(0.25 * (1 << 32)), "08x")
+    assert kept25 == {d for d in base if _h(d)[:8] < cut25}
+    # monotone nesting: raising the fraction only ADDS rows (stable
+    # sample growth — the property that makes the cut usable for
+    # progressive data ablations)
+    assert kept25 <= kept50
+    assert hash_threshold_sample(docs, 1.0).count() == len(base)
+    assert hash_threshold_sample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_threshold_sample(docs, 1.5)
+
+
+def test_stratified_fraction_exact_counts(docs):
+    out = stratified_sample(docs, "lang", fraction=0.3)
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {
+        "a": math.ceil(0.3 * 40),
+        "b": math.ceil(0.3 * 80),
+        "c": math.ceil(0.3 * 120),
+        "d": math.ceil(0.3 * 160),
+    }
+    # within each stratum, exactly the quota-smallest md5(doc_id)
+    by_lang = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    expect = set()
+    for lang, ids in by_lang.items():
+        k = math.ceil(0.3 * len(ids))
+        expect |= set(sorted(ids, key=lambda d: (_h(d), d))[:k])
+    assert {r.doc_id for r in out.collect()} == expect
+
+
+def test_stratified_temperature_quotas(docs):
+    budget = 200
+    out = stratified_sample(docs, "lang", budget=budget, alpha=0.5)
+    got = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {"a": 40, "b": 80, "c": 120, "d": 160}
+    wts = {s: math.floor(math.sqrt(n) * (1 << 20)) for s, n in sizes.items()}
+    wtot = sum(wts.values())
+    expect = {
+        s: min(n, math.ceil(float(budget) * float(wts[s]) / float(wtot)))
+        for s, n in sizes.items()
+    }
+    assert got == expect
+    # alpha=0.5 flattens: small stratum keeps a larger share than big
+    assert got["a"] / 40 > got["d"] / 160
+    # alpha=1 is proportional allocation of the budget
+    prop = stratified_sample(docs, "lang", budget=budget, alpha=1.0)
+    gp = {
+        r.lang: r.n
+        for r in prop.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in sizes.items():
+        assert gp[s] == min(
+            n, math.ceil(float(budget) * float(n * (1 << 20)) / float(400 * (1 << 20)))
+        )
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang")
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", fraction=0.1, budget=10)
+
+
+def test_per_stratum_cap(docs):
+    out = per_stratum_cap(docs, "lang", 5)
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 5, "c": 5, "d": 5}
+    by_lang = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    expect = set()
+    for ids in by_lang.values():
+        expect |= set(sorted(ids, key=lambda d: (_h(d), d))[:5])
+    assert {r.doc_id for r in out.collect()} == expect
+    assert per_stratum_cap(docs, "lang", 0).count() == 0
+
+
+def _prefix_oracle(rows, budget):
+    """The single-global-cumsum definition the two-phase plan must
+    match: order by (score DESC, md5(key), key), keep while cum<=B."""
+    ordered = sorted(rows, key=lambda r: (-r[1], _h(r[0]), r[0]))
+    out, cum = set(), 0
+    for doc_id, _score, tok in ordered:
+        cum += tok
+        if cum <= budget:
+            out.add(doc_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # coarse score buckets 0..9, tokens 0..29 (zeros included)
+    rows = [(i, (i * 13 + 5) % 10, (i * 11 + 2) % 30) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score long, n_tokens long"
+    ).repartition(5)
+    return df, rows
+
+
+@pytest.mark.parametrize("budget", [0, 1, 500, 1437, 10**9])
+def test_token_budget_matches_global_prefix(scored, budget):
+    df, rows = scored
+    out = token_budget_select(df, "score", "n_tokens", budget=budget)
+    assert {r.doc_id for r in out.collect()} == _prefix_oracle(rows, budget)
+
+
+def test_token_budget_frac_and_guard(scored):
+    df, rows = scored
+    total = sum(r[2] for r in rows)
+    out = token_budget_select(df, "score", "n_tokens", budget_frac=0.5)
+    assert {r.doc_id for r in out.collect()} == _prefix_oracle(
+        rows, int(0.5 * total)
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        token_budget_select(
+            df, "doc_id", "n_tokens", budget=10, max_buckets=100
+        )
+    with pytest.raises(ValueError):
+        token_budget_select(df, "score", "n_tokens")
+    with pytest.raises(ValueError):
+        token_budget_select(
+            df, "score", "n_tokens", budget=1, budget_frac=0.5
+        )

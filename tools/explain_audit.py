@@ -82,6 +82,28 @@ CHECKS = {
         [r"BroadcastHashJoin", r"PushedFilters: \[.*doc_id"],
         [r"BatchEvalPython", r"SortMergeJoin"],
     ),
+    "hash_sample": (
+        # the 100TB sampling path: pure map-side filter — no exchange,
+        # no Python, scan pruned to the 2 output cols
+        [r"ReadSchema: [^\n]*doc_id[^\n]*lang"],
+        [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "stratified_sample": (
+        # rank window on the stratum + tiny histogram broadcast back
+        [r"Window", r"BroadcastHashJoin"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "domain_cap": (
+        # host is synthesized from doc_id: text must NOT be scanned
+        [r"Window", r"ReadSchema: [^\n]*doc_id"],
+        [r"ReadSchema: [^\n]*text", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "token_budget_select": (
+        # two-phase budget selection: full buckets are a plain filter;
+        # only the boundary bucket is windowed
+        [r"Window", r"ReadSchema: [^\n]*text"],
+        [r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
 }
 
 
