@@ -644,6 +644,25 @@ def q_token_budget_select(spark, sf_dir):
     ).select("doc_id", "score", "n_tokens")
 
 
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-style composite document filter (Rae et al. 2021 §A1.1
+    shape): per-rule boolean verdicts (token-count window, mean word
+    length, symbol ratio, stopword presence, dup-word fraction) plus
+    the AND'd keep verdict.  Every gate compares an integer statistic
+    (count or floor(frac·10⁶) ppm), so verdicts are hash-exact; one
+    codegen'd pass over the pruned (doc_id, text) scan, no shuffle."""
+    from bloom_filters_spark.functions.text import gopher_flags_exprs
+
+    # fixture corpus is intentionally repetitive (it exists to test
+    # dedup), so the dup-word gate is relaxed to the median-passing
+    # 0.6 — the default 0.3 would reject ~85% and make the composite
+    # verdict degenerate here
+    flags = gopher_flags_exprs(F.col("text"), max_dup_word_ppm=600_000)
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(k) for k, c in flags.items()]
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
@@ -1128,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "domain_cap": q_domain_cap,
         "token_budget_select": q_token_budget_select,
+        "gopher_quality_flags": q_gopher_quality_flags,
     }
 
 
@@ -2168,5 +2188,43 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, score, n_tokens FROM o
           WHERE cum <= (SELECT sum(n_tokens) // 2 FROM sc)
+        """,
+        # mirrors functions/text.py gopher_flags_exprs + GOPHER_DEFAULTS:
+        # integer/ppm gates only (FLOOR+CAST, never bare CAST); dup-word
+        # fragment identical to the proven repetition_stats oracle
+        "gopher_quality_flags": f"""
+          WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+          ), m AS (
+            SELECT doc_id, text, toks, len(toks) AS n,
+              length(array_to_string(toks, ' '))
+                - greatest(len(toks) - 1, 0) AS chars,
+              {_sw_count("en")} AS n_sw
+            FROM base
+          ), f AS (
+            SELECT doc_id,
+              n >= 15 AND n <= 100000 AS ok_n_tokens,
+              (CASE WHEN n > 0
+                    THEN CAST(FLOOR((chars::DOUBLE / n) * 1000000.0)
+                              AS BIGINT)
+                    ELSE 0 END) AS mean_ppm,
+              CAST(FLOOR((length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                   / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+                   * 1000000.0) AS BIGINT) AS punct_ppm,
+              n_sw,
+              CAST(FLOOR((CASE WHEN n > 0
+                   THEN 1.0 - len(list_distinct(toks))::DOUBLE / n
+                   ELSE 0.0 END) * 1000000.0) AS BIGINT) AS dup_ppm
+            FROM m
+          )
+          SELECT doc_id, ok_n_tokens,
+            mean_ppm >= 3000000 AND mean_ppm <= 10000000 AS ok_mean_word_len,
+            punct_ppm <= 100000 AS ok_punct,
+            n_sw >= 2 AS ok_stopwords,
+            dup_ppm <= 600000 AS ok_dup_words,
+            (ok_n_tokens AND mean_ppm >= 3000000 AND mean_ppm <= 10000000
+             AND punct_ppm <= 100000 AND n_sw >= 2
+             AND dup_ppm <= 600000) AS keep
+          FROM f
         """,
     }

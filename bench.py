@@ -64,6 +64,7 @@ HEADLINE = [
     "hash_sample",
     "domain_cap",
     "token_budget_select",
+    "gopher_quality_flags",
 ]
 
 

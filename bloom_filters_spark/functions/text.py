@@ -138,6 +138,60 @@ def quality_class_expr(text: Column) -> Column:
     )
 
 
+# Gopher-style document filter defaults (Rae et al. 2021 §A1.1 shape,
+# thresholds adapted to the short-doc fixture corpus).  All gates
+# compare INTEGER statistics (counts or floor(frac·10⁶) ppm longs), so
+# the verdicts are hash-exact across engines.
+GOPHER_DEFAULTS = {
+    "min_tokens": 15,
+    "max_tokens": 100_000,
+    "min_mean_word_len_ppm": 3_000_000,   # 3.0 chars
+    "max_mean_word_len_ppm": 10_000_000,  # 10.0 chars
+    "max_punct_ppm": 100_000,             # symbol ratio ≤ 0.1
+    "min_stopword_hits": 2,               # ≥2 stopword occurrences
+    "max_dup_word_ppm": 300_000,          # dup-word fraction ≤ 0.3
+}
+
+
+def gopher_flags_exprs(
+    text: Column, lang: str = "en", **overrides
+) -> dict:
+    """Per-rule boolean verdicts of a Gopher/C4-style quality filter,
+    plus the composite ``keep``.  Pure JVM expressions (one pass, no
+    Python), integer/ppm gates only — see GOPHER_DEFAULTS."""
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    p.update(overrides)
+    toks = _tokens(text)
+    n = F.size(toks)
+    # chars across tokens = len(join) − separators (exact, no regexp)
+    chars = F.length(F.concat_ws(" ", toks)) - F.greatest(
+        n - 1, F.lit(0)
+    )
+    mean_ppm = F.when(n > 0, _ppm(chars.cast("double") / n)).otherwise(
+        F.lit(0).cast("long")
+    )
+    punct_ppm = _ppm(_punct_ratio_raw(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    dup_ppm = dup_word_frac_expr(text, ppm=True)
+    flags = {
+        "ok_n_tokens": (n >= p["min_tokens"]) & (n <= p["max_tokens"]),
+        "ok_mean_word_len": (mean_ppm >= p["min_mean_word_len_ppm"])
+        & (mean_ppm <= p["max_mean_word_len_ppm"]),
+        "ok_punct": punct_ppm <= p["max_punct_ppm"],
+        "ok_stopwords": n_sw >= p["min_stopword_hits"],
+        "ok_dup_words": dup_ppm <= p["max_dup_word_ppm"],
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    flags["keep"] = keep
+    return flags
+
+
 def lang_id_expr(text: Column) -> Column:
     """Two-stage language ID, all JVM-codegen expressions.
 

@@ -207,3 +207,80 @@ def test_pii_patterns_match_duckdb_re2(spark):
             [t, PII_EMAIL_PATTERN, PII_IPV4_PATTERN, PII_PHONE_PATTERN],
         ).fetchone()
         assert spark_out[i] == duck, (t, spark_out[i], duck)
+
+
+def _gopher_py(text, max_dup_ppm=300_000):
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    n = len(toks)
+    chars = sum(len(t) for t in toks)
+    mean_ppm = math.floor((chars / n) * 1e6) if n else 0
+    n_chars = len(text)
+    n_punct = len(re.sub(r"[\w\s]", "", text))
+    punct_ppm = math.floor((n_punct / (n_chars if n_chars else 1)) * 1e6)
+    sw = {"the", "of", "and", "to", "in", "is", "it", "that", "for", "was"}
+    n_sw = sum(t in sw for t in toks)
+    dup_ppm = math.floor((1.0 - len(set(toks)) / n) * 1e6) if n else 0
+    f = {
+        "ok_n_tokens": 15 <= n <= 100_000,
+        "ok_mean_word_len": 3_000_000 <= mean_ppm <= 10_000_000,
+        "ok_punct": punct_ppm <= 100_000,
+        "ok_stopwords": n_sw >= 2,
+        "ok_dup_words": dup_ppm <= max_dup_ppm,
+    }
+    f["keep"] = all(f.values())
+    return f
+
+
+def test_gopher_flags_match_python(spark):
+    from bloom_filters_spark.functions.text import (
+        STOPWORDS,
+        gopher_flags_exprs,
+    )
+
+    assert set(_gopher_py("", 0)) == {
+        "ok_n_tokens", "ok_mean_word_len", "ok_punct", "ok_stopwords",
+        "ok_dup_words", "keep",
+    }
+    # oracle stop set must mirror the library's (guards test rot)
+    assert set(STOPWORDS["en"]) == {
+        "the", "of", "and", "to", "in", "is", "it", "that", "for", "was",
+    }
+    texts = [
+        "",                                   # empty: every count gate fails
+        "short doc",                          # under min_tokens
+        "the cat sat on the mat " * 5,        # repetitive but stopworded
+        " ".join(f"unique{i} word{i}" for i in range(10)) + " the was of",
+        "supercalifragilistic " * 20,         # mean word len too high
+        "a b c d e f g h i j k l m n o p q",  # mean word len too low
+        "!!! ??? ### " * 10,                  # symbol-heavy
+        ("the quick brown fox jumps over a lazy dog near the old barn "
+         "while it rains and the wind blows hard for hours today"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    flags = gopher_flags_exprs(F.col("text"))
+    got = {
+        r["doc_id"]: {k: r[k] for k in _gopher_py("")}
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in flags.items()]
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _gopher_py(t), f"doc {i}: {t[:40]!r}"
+    # at least one text passes everything and several fail per-rule
+    assert any(v["keep"] for v in got.values())
+    assert sum(not v["ok_dup_words"] for v in got.values()) >= 1
+    assert sum(not v["ok_mean_word_len"] for v in got.values()) >= 2
+    with pytest.raises(ValueError, match="unknown gopher"):
+        gopher_flags_exprs(F.col("text"), max_typo_rate=1)
+    # threshold override changes the verdict
+    relaxed = gopher_flags_exprs(F.col("text"), max_dup_word_ppm=999_999)
+    r = {
+        row["doc_id"]: row["ok_dup_words"]
+        for row in df.select(
+            "doc_id", relaxed["ok_dup_words"].alias("ok_dup_words")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert r[i] == _gopher_py(t, 999_999)["ok_dup_words"]

@@ -104,6 +104,11 @@ CHECKS = {
         [r"Window", r"ReadSchema: [^\n]*text"],
         [r"ArrowEvalPython", r"BatchEvalPython"],
     ),
+    "gopher_quality_flags": (
+        # one codegen'd pass, pruned scan, shuffle-free, no Python
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
+        [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
 }
 
 
