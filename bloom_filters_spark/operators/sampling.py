@@ -14,6 +14,11 @@ Design rules shared by every operator here:
   SQL, by a re-run, and by a resumed job.  ``rand(seed)`` is rejected
   on purpose: its stream depends on partitioning, so a repartitioned
   retry would sample a different set.
+* **Salt composed stages.**  Every operator takes a ``salt``;
+  stages of one pipeline must use distinct salts, or the later
+  stage's selection is biased by the earlier one's (an unsalted
+  sample after an unsalted cap keeps ~everything — the cap's
+  survivors have small hashes by construction).
 * **Declared plans.**  Everything is window/agg/join DataFrame ops —
   no Python in the row path — so Catalyst keeps pushdown/pruning and
   whole-stage codegen.
@@ -41,13 +46,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def rank_hash_expr(key_col: str):
-    """Portable deterministic per-row hash used as the sampling order."""
-    return F.md5(F.col(key_col).cast("string"))
+def rank_hash_expr(key_col: str, salt: str = ""):
+    """Portable deterministic per-row hash used as the sampling order.
+
+    ``salt`` decorrelates COMPOSED md5-ordered operators: e.g. a
+    per-domain cap keeps the k SMALLEST md5(key) per host, so a later
+    unsalted hash-threshold sample of the survivors would keep nearly
+    all of them (their hashes are small by construction, not uniform).
+    Give each stage of a pipeline its own salt and the selections are
+    independent again.  The DuckDB mirror is
+    ``md5(key::VARCHAR || 'salt')``."""
+    c = F.col(key_col).cast("string")
+    return F.md5(F.concat(c, F.lit(salt)) if salt else c)
 
 
 def hash_threshold_sample(
-    df: DataFrame, fraction: float, key_col: str = "doc_id"
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "",
 ) -> DataFrame:
     """Shuffle-free deterministic sample: keep rows whose md5(key) prefix
     falls below ``fraction`` of the 32-bit hex space.
@@ -65,7 +82,9 @@ def hash_threshold_sample(
     # 8 hex chars = 32 bits of the md5; lexicographic compare on the
     # zero-padded hex threshold is identical in Spark and DuckDB.
     cut = format(int(fraction * (1 << 32)), "08x")
-    return df.filter(F.substring(rank_hash_expr(key_col), 1, 8) < F.lit(cut))
+    return df.filter(
+        F.substring(rank_hash_expr(key_col, salt), 1, 8) < F.lit(cut)
+    )
 
 
 def stratified_sample(
@@ -75,6 +94,7 @@ def stratified_sample(
     fraction: Optional[float] = None,
     budget: Optional[int] = None,
     alpha: float = 1.0,
+    salt: str = "",
 ) -> DataFrame:
     """Exact-count deterministic stratified sample.
 
@@ -107,7 +127,7 @@ def stratified_sample(
     """
     if (fraction is None) == (budget is None):
         raise ValueError("pass exactly one of fraction= or budget=")
-    h = rank_hash_expr(key_col).alias("_h")
+    h = rank_hash_expr(key_col, salt).alias("_h")
     w = Window.partitionBy(strata_col).orderBy("_h", key_col)
     ranked = df.withColumn("_h", h).withColumn(
         "_rk", F.row_number().over(w)
@@ -151,7 +171,11 @@ def stratified_sample(
 
 
 def per_stratum_cap(
-    df: DataFrame, strata_col: str, k: int, key_col: str = "doc_id"
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
 ) -> DataFrame:
     """Keep at most ``k`` rows per stratum (C4-style per-domain cap),
     chosen deterministically as the ``k`` smallest ``md5(key)`` within
@@ -161,7 +185,7 @@ def per_stratum_cap(
         raise ValueError(f"k must be >= 0, got {k}")
     w = Window.partitionBy(strata_col).orderBy("_h", key_col)
     return (
-        df.withColumn("_h", rank_hash_expr(key_col))
+        df.withColumn("_h", rank_hash_expr(key_col, salt))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.lit(int(k)))
         .drop("_h", "_rk")

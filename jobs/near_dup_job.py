@@ -10,7 +10,8 @@ Ship the library as a zip and submit (north-rule deployment shape):
         --output /path/to/clusters \
         [--pages] [--canonicalize-urls] [--lang en] [--threshold 0.8] \
         [--checkpoint-root /path/to/ckpt | --boilerplate-max-df 0.3] \
-        [--against /path/to/existing_corpus.parquet]
+        [--against /path/to/existing_corpus.parquet] \
+        [--quality-filter] [--domain-cap K] [--sample-fraction F]
 
 ``--against`` switches to incremental mode: --input is a new crawl
 increment, the job emits verified (id1=new, id2=corpus, jaccard)
@@ -62,6 +63,20 @@ def main():
                         "verified (id1=new, id2=corpus, jaccard) pairs "
                         "instead of clusters — the corpus is never "
                         "re-paired against itself")
+    # pre-pipeline curation (applied in this order: quality filter →
+    # domain cap → sample); each stage's surviving row count lands in
+    # the metrics JSON so drops are observable, never silent
+    p.add_argument("--quality-filter", action="store_true",
+                   help="drop docs failing the Gopher-style composite "
+                        "quality gates (functions.text.gopher_flags_exprs "
+                        "defaults) before dedup")
+    p.add_argument("--domain-cap", type=int, default=None,
+                   help="with --pages: keep at most K docs per host "
+                        "(deterministic md5 rank) before dedup")
+    p.add_argument("--sample-fraction", type=float, default=None,
+                   help="shuffle-free deterministic sample of the input "
+                        "by md5(id) prefix cut (reproducible across "
+                        "runs/retries) before dedup")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,8 +107,41 @@ def main():
     )
     if args.canonicalize_urls and not args.pages:
         p.error("--canonicalize-urls requires --pages (url-keyed input)")
+    if args.domain_cap is not None and not args.pages:
+        p.error("--domain-cap requires --pages (url-keyed input)")
     df = spark.read.parquet(args.input)
     t0 = time.time()
+
+    curation = None
+    if args.quality_filter or args.domain_cap is not None \
+            or args.sample_fraction is not None:
+        key_col = "url" if args.pages else args.id_col
+        curation = {"rows_in": df.count()}
+        if args.quality_filter:
+            from bloom_filters_spark.functions.text import gopher_flags_exprs
+            from pyspark.sql import functions as F
+
+            df = df.filter(gopher_flags_exprs(F.col(args.text_col))["keep"])
+            curation["after_quality"] = df.count()
+        if args.domain_cap is not None:
+            from bloom_filters_spark.functions.url import host_expr
+            from bloom_filters_spark.operators.sampling import per_stratum_cap
+            from pyspark.sql import functions as F
+
+            df = per_stratum_cap(
+                df.withColumn("_host", host_expr(F.col("url"))),
+                "_host", args.domain_cap, key_col=key_col, salt="cap",
+            ).drop("_host")
+            curation["after_domain_cap"] = df.count()
+        if args.sample_fraction is not None:
+            from bloom_filters_spark.operators.sampling import (
+                hash_threshold_sample,
+            )
+
+            df = hash_threshold_sample(
+                df, args.sample_fraction, key_col=key_col, salt="sample",
+            )
+            curation["after_sample"] = df.count()
     if args.against:
         if args.pages or args.checkpoint_root:
             p.error("--against is a standalone mode (plain doc tables, "
@@ -110,6 +158,7 @@ def main():
             "input": args.input,
             "against": args.against,
             "pairs": out.count(),
+            **({"curation": curation} if curation else {}),
             "wall_sec": round(time.time() - t0, 2),
             "config": {
                 "threshold": args.threshold,
@@ -163,6 +212,7 @@ def main():
     metrics = {
         "input": args.input,
         "rows": n_rows,
+        **({"curation": curation} if curation else {}),
         "clusters": n_clusters,
         "dup_rows": n_rows - n_clusters,
         "wall_sec": round(time.time() - t0, 2),

@@ -177,3 +177,31 @@ def test_token_budget_frac_and_guard(scored):
         token_budget_select(
             df, "score", "n_tokens", budget=1, budget_frac=0.5
         )
+
+
+def test_salt_decorrelates_composed_stages(docs):
+    """An unsalted sample after an unsalted cap is biased (the cap keeps
+    the smallest hashes, which then all pass the cut); distinct salts
+    restore independence.  Both selections are exactly replicated in
+    Python — the assertion of bias is deterministic, not statistical."""
+    capped = per_stratum_cap(docs, "lang", 20)
+    base = {r.doc_id for r in capped.collect()}
+    cut = format(int(0.5 * (1 << 32)), "08x")
+
+    unsalted = {r.doc_id for r in hash_threshold_sample(capped, 0.5).collect()}
+    assert unsalted == {d for d in base if _h(d)[:8] < cut}
+
+    salted = {
+        r.doc_id
+        for r in hash_threshold_sample(capped, 0.5, salt="s2").collect()
+    }
+    expect = {
+        d
+        for d in base
+        if hashlib.md5((str(d) + "s2").encode()).hexdigest()[:8] < cut
+    }
+    assert salted == expect
+    # the bias: unsalted keeps (nearly) all cap survivors, salted ~half
+    assert len(unsalted) / len(base) > 0.85
+    assert 0.3 < len(salted) / len(base) < 0.7
+    assert len(unsalted) > len(salted)
