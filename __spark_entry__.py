@@ -644,6 +644,18 @@ def q_token_budget_select(spark, sf_dir):
     ).select("doc_id", "score", "n_tokens")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 hash
+    range — shuffle-free, retry/engine-stable, so re-ingesting or
+    re-partitioning the corpus never leaks eval docs into train."""
+    from bloom_filters_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher-style composite document filter (Rae et al. 2021 §A1.1
     shape): per-rule boolean verdicts (token-count window, mean word
@@ -1148,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "token_budget_select": q_token_budget_select,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "hash_split": q_hash_split,
     }
 
 
@@ -1160,6 +1173,12 @@ def _sw_list(lang):
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+
+
+def _split_cut(acc: float) -> str:
+    """Zero-padded 32-bit hex boundary for hash_split's oracle — the
+    IDENTICAL arithmetic as operators/sampling.hash_split."""
+    return format(min(int(acc * (1 << 32)), (1 << 32) - 1), "08x")
 
 
 def _sw_count(lang):
@@ -2226,5 +2245,16 @@ def oracle_sql() -> dict[str, str]:
              AND punct_ppm <= 100000 AND n_sw >= 2
              AND dup_ppm <= 600000) AS keep
           FROM f
+        """,
+        # mirrors sampling.hash_split({train:.8, val:.1, test:.1}):
+        # boundary hexes computed by the same cumulative-float loop
+        "hash_split": f"""
+          SELECT doc_id,
+            CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_split_cut(0.8)}'
+                   THEN 'train'
+                 WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_split_cut(0.8 + 0.1)}'
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents
         """,
     }

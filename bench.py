@@ -65,6 +65,7 @@ HEADLINE = [
     "domain_cap",
     "token_budget_select",
     "gopher_quality_flags",
+    "hash_split",
 ]
 
 

@@ -87,6 +87,44 @@ def hash_threshold_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: label each row by which
+    contiguous md5-prefix range its hash falls in.  ``weights`` maps
+    label → fraction (must sum to ~1); ranges are laid out in the
+    dict's insertion order, so the FIRST label owns the lowest hash
+    range — meaning a row's label never changes when later splits are
+    re-weighted among themselves.
+
+    Shuffle-free map-side labelling (same plan shape as
+    :func:`hash_threshold_sample`); portable and retry-stable, so the
+    same document lands in the same split on every engine, run, and
+    cluster size — the property that keeps eval sets uncontaminated
+    across reshuffles/re-ingestions.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: fraction}")
+    tot = sum(weights.values())
+    if not (0.999 <= tot <= 1.001):
+        raise ValueError(f"weights must sum to 1 (got {tot})")
+    h = F.substring(rank_hash_expr(key_col, salt), 1, 8)
+    expr = None
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label]
+        cut = F.lit(format(min(int(acc * (1 << 32)), (1 << 32) - 1), "08x"))
+        expr = F.when(h < cut, label) if expr is None else expr.when(h < cut, label)
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

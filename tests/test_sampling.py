@@ -205,3 +205,32 @@ def test_salt_decorrelates_composed_stages(docs):
     assert len(unsalted) / len(base) > 0.85
     assert 0.3 < len(salted) / len(base) < 0.7
     assert len(unsalted) > len(salted)
+
+
+def test_hash_split_exact_and_stable(docs):
+    from bloom_filters_spark.operators.sampling import hash_split
+
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r.doc_id: r.split for r in out.collect()}
+    c1 = format(int(0.8 * (1 << 32)), "08x")
+    c2 = format(min(int((0.8 + 0.1) * (1 << 32)), (1 << 32) - 1), "08x")
+    for d in got:
+        h8 = _h(d)[:8]
+        want = "train" if h8 < c1 else ("val" if h8 < c2 else "test")
+        assert got[d] == want
+    assert set(got.values()) == {"train", "val", "test"}
+    # re-weighting LATER splits never moves a train row (first label
+    # owns the lowest hash range): eval-set stability under re-splits
+    re_out = hash_split(docs, {"train": 0.8, "val": 0.15, "test": 0.05})
+    re_got = {r.doc_id: r.split for r in re_out.collect()}
+    assert {d for d, s in got.items() if s == "train"} == {
+        d for d, s in re_got.items() if s == "train"
+    }
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        hash_split(docs, {})
+    # single label degenerates to a constant column
+    assert {
+        r.split for r in hash_split(docs, {"all": 1.0}).collect()
+    } == {"all"}

@@ -109,6 +109,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
     ),
+    "hash_split": (
+        # map-side split labelling: scan pruned to doc_id, no exchange
+        [r"ReadSchema: [^\n]*doc_id"],
+        [r"ReadSchema: [^\n]*text", r"Exchange", r"ArrowEvalPython",
+         r"BatchEvalPython"],
+    ),
 }
 
 
