@@ -576,7 +576,11 @@ def q_stratified_sample(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     budget = docs.count() // 2
     return stratified_sample(
-        docs, "lang", budget=budget, alpha=0.5
+        docs, "lang", budget=budget, alpha=0.5,
+        # the mega-stratum scale path (prefilter to ~quota*margin rows
+        # before the rank sort); provably identical output, so the
+        # DuckDB oracle doubles as the exactness check
+        presample_margin=1.3,
     ).select("doc_id", "lang")
 
 

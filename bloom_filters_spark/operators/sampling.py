@@ -133,6 +133,7 @@ def stratified_sample(
     budget: Optional[int] = None,
     alpha: float = 1.0,
     salt: str = "",
+    presample_margin: Optional[float] = None,
 ) -> DataFrame:
     """Exact-count deterministic stratified sample.
 
@@ -160,8 +161,21 @@ def stratified_sample(
 
     Plan: one exchange on ``strata_col`` (window rank), plus a tiny
     per-stratum count aggregate broadcast back.  Skewed mega-strata
-    make the rank sort the straggler — see module docstring for the
-    shuffle-free alternative.
+    make the rank sort the straggler — mitigations: the shuffle-free
+    :func:`hash_threshold_sample` (module docstring), or
+    ``presample_margin``.
+
+    ``presample_margin`` (e.g. ``1.3``) is the scale path for exact
+    counts on huge strata: before ranking, each stratum is pre-filtered
+    to rows whose 32-bit hash prefix falls under
+    ``quota/N * margin`` of the hash space, so the per-stratum sort
+    sees ~``quota*margin`` rows instead of ``N`` (sampling 1% of a
+    mega-stratum sorts ~1.3% of it).  The result is **identical** to
+    the unfiltered computation: the quota smallest hashes all lie
+    under the cut whenever the cut holds at least ``quota`` rows, and
+    a per-stratum shortfall check (one tiny aggregate) re-ranks any
+    stratum where the binomial draw came up short — without the
+    margin's prefilter — so exactness never depends on luck.
     """
     if (fraction is None) == (budget is None):
         raise ValueError("pass exactly one of fraction= or budget=")
@@ -200,6 +214,55 @@ def stratified_sample(
             ),
         )
     counts = counts.withColumn("_quota", quota)
+    if presample_margin is not None:
+        if presample_margin <= 0:
+            raise ValueError(
+                f"presample_margin must be > 0, got {presample_margin}"
+            )
+        # per-stratum prefilter BEFORE the rank sort: keep rows whose
+        # 32-bit hash prefix is under quota/N*margin of the hash space
+        counts = counts.withColumn(
+            "_cut",
+            F.least(
+                F.lit(float(1 << 32)),
+                F.ceil(
+                    F.col("_quota").cast("double")
+                    / F.col("_n").cast("double")
+                    * F.lit(float(presample_margin))
+                    * F.lit(float(1 << 32))
+                ).cast("double"),
+            ).cast("long"),
+        )
+        hv = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+        base = df.withColumn("_h", h).join(
+            F.broadcast(counts), strata_col
+        ).withColumn("_hv", hv)
+        pre = base.filter(F.col("_hv") < F.col("_cut"))
+        # shortfall check: the prefilter is only valid for a stratum if
+        # it retained >= quota rows (then the quota smallest hashes all
+        # lie under the cut); re-rank any short stratum unfiltered
+        surv = {
+            r[strata_col]: r["_m"]
+            for r in pre.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .collect()
+        }
+        quotas = {
+            r[strata_col]: r["_quota"] for r in counts.collect()
+        }
+        short = [s for s, q in quotas.items() if surv.get(s, 0) < q]
+        if short:
+            pre = pre.unionByName(
+                base.filter(
+                    F.col(strata_col).isin(short) & (F.col("_hv") >= F.col("_cut"))
+                )
+            )
+        ranked = pre.drop("_hv", "_cut").withColumn(
+            "_rk", F.row_number().over(w)
+        )
+        return ranked.filter(F.col("_rk") <= F.col("_quota")).drop(
+            "_h", "_rk", "_n", "_w", "_wtot", "_quota"
+        )
     out = (
         ranked.join(F.broadcast(counts), strata_col)
         .filter(F.col("_rk") <= F.col("_quota"))

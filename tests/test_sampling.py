@@ -234,3 +234,28 @@ def test_hash_split_exact_and_stable(docs):
     assert {
         r.split for r in hash_split(docs, {"all": 1.0}).collect()
     } == {"all"}
+
+
+@pytest.mark.parametrize("margin", [1.3, 0.5])
+def test_presample_margin_is_exact(docs, margin):
+    """The presample prefilter must never change the result — margin
+    0.5 deliberately undershoots so ~every stratum takes the shortfall
+    fallback path; 1.3 exercises the fast path."""
+    plain = stratified_sample(docs, "lang", fraction=0.3)
+    fast = stratified_sample(
+        docs, "lang", fraction=0.3, presample_margin=margin
+    )
+    assert {r.doc_id for r in fast.collect()} == {
+        r.doc_id for r in plain.collect()
+    }
+    plain_b = stratified_sample(docs, "lang", budget=120, alpha=0.5)
+    fast_b = stratified_sample(
+        docs, "lang", budget=120, alpha=0.5, presample_margin=margin
+    )
+    assert {r.doc_id for r in fast_b.collect()} == {
+        r.doc_id for r in plain_b.collect()
+    }
+    with pytest.raises(ValueError, match="presample_margin"):
+        stratified_sample(
+            docs, "lang", fraction=0.3, presample_margin=0
+        )
