@@ -660,6 +660,16 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_rare_trigram_score(spark, sf_dir):
+    """Corpus-relative rarity score (LM-perplexity proxy): fraction of
+    each doc's char trigrams with corpus frequency < 3, as a ppm long.
+    Trigram vocabulary is bounded by charset^3, so the per-trigram
+    counts broadcast — no shuffle join against the corpus side."""
+    from bloom_filters_spark.functions.text import rare_trigram_stats
+
+    return rare_trigram_stats(_docs(spark, sf_dir), min_count=3)
+
+
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher-style composite document filter (Rae et al. 2021 §A1.1
     shape): per-rule boolean verdicts (token-count window, mean word
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "gopher_quality_flags": q_gopher_quality_flags,
         "hash_split": q_hash_split,
+        "rare_trigram_score": q_rare_trigram_score,
     }
 
 
@@ -2260,5 +2271,40 @@ def oracle_sql() -> dict[str, str]:
                    THEN 'val'
                  ELSE 'test' END AS split
           FROM documents
+        """,
+        # mirrors functions/text.py rare_trigram_stats(min_count=3):
+        # integer counts + one FLOOR'd ppm division; corpus counts are
+        # derived from the per-(doc,tri) aggregate in both engines
+        "rare_trigram_score": r"""
+          WITH nm AS (
+            SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+            FROM documents
+          ), t AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, length(nrm) - 2),
+                     i -> substr(nrm, i, 3))) AS tri
+            FROM nm WHERE length(nrm) >= 3
+          ), dc AS (
+            SELECT doc_id, tri, count(*)::BIGINT AS c
+            FROM t GROUP BY doc_id, tri
+          ), cc AS (
+            SELECT tri, sum(c)::BIGINT AS cc FROM dc GROUP BY tri
+          ), agg AS (
+            SELECT dc.doc_id,
+                   sum(dc.c)::BIGINT AS n_trigrams,
+                   coalesce(sum(CASE WHEN cc.cc < 3 THEN dc.c END), 0)::BIGINT
+                     AS n_rare
+            FROM dc JOIN cc USING (tri) GROUP BY dc.doc_id
+          )
+          SELECT d.doc_id,
+            coalesce(a.n_trigrams, 0) AS n_trigrams,
+            coalesce(a.n_rare, 0) AS n_rare,
+            CAST(FLOOR((coalesce(a.n_rare, 0)::DOUBLE /
+                 (CASE WHEN coalesce(a.n_trigrams, 0) > 0
+                       THEN a.n_trigrams ELSE 1 END)) * 1000000.0)
+                 AS BIGINT) AS rare_ppm
+          FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

@@ -66,6 +66,7 @@ HEADLINE = [
     "token_budget_select",
     "gopher_quality_flags",
     "hash_split",
+    "rare_trigram_score",
 ]
 
 

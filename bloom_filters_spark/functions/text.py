@@ -350,6 +350,65 @@ def repetition_stats(df, ns: tuple = (2, 3), id_col: str = "doc_id",
     return out.drop("n_tok", "total")
 
 
+def rare_trigram_stats(df, min_count: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """CCNet-style rarity scoring without an external language model:
+    per document, the fraction of its character trigrams whose CORPUS
+    frequency is below ``min_count`` — high values flag gibberish,
+    encoding damage, and OOV-ish text the way an LM-perplexity tail
+    does, but from the corpus's own statistics (integer-exact, so the
+    score is hash-safe cross-engine; a log-prob version would ride on
+    libm ulps).  Output: (id, n_trigrams, n_rare, rare_ppm).
+
+    Shape at scale: one linear trigram explode → per-(doc,tri) hash
+    aggregate (map-side combined; hot trigrams in one doc collapse
+    before the shuffle) → corpus counts derived FROM that aggregate
+    (second small shuffle) and **broadcast** back — the trigram
+    vocabulary is bounded by charset³, so the per-trigram side never
+    needs a shuffle join no matter the corpus size."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = df.select(id_col, norm.alias("_nrm")).withColumn(
+        "_len", F.length("_nrm")
+    )
+    tri = (
+        base.filter(F.col("_len") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - 2),
+                    lambda i: F.col("_nrm").substr(i, F.lit(3)),
+                )
+            ).alias("_tri"),
+        )
+    )
+    dc = tri.groupBy(id_col, "_tri").agg(F.count(F.lit(1)).alias("_c"))
+    cc = dc.groupBy("_tri").agg(F.sum("_c").alias("_cc"))
+    agg = (
+        dc.join(F.broadcast(cc), "_tri")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_trigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("_cc") < min_count, F.col("_c"))),
+                F.lit(0),
+            ).alias("n_rare"),
+        )
+    )
+    out = base.select(id_col).join(agg, id_col, "left")
+    n_tri = F.coalesce(F.col("n_trigrams"), F.lit(0))
+    n_rare = F.coalesce(F.col("n_rare"), F.lit(0))
+    return out.select(
+        id_col,
+        n_tri.alias("n_trigrams"),
+        n_rare.alias("n_rare"),
+        _ppm(
+            n_rare.cast("double")
+            / F.when(n_tri > 0, n_tri).otherwise(F.lit(1))
+        ).alias("rare_ppm"),
+    )
+
+
 def doc_fingerprint_expr(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of normalized text
     (lowercased, whitespace collapsed) — the cheap exact-dup key."""

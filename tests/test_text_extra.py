@@ -284,3 +284,49 @@ def test_gopher_flags_match_python(spark):
     }
     for i, t in enumerate(texts):
         assert r[i] == _gopher_py(t, 999_999)["ok_dup_words"]
+
+
+def test_rare_trigram_stats_matches_python(spark):
+    from collections import Counter
+
+    from bloom_filters_spark.functions.text import rare_trigram_stats
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "the cat sat on the rat",
+        "qzx vbk jqw pfm zzq xqv",   # gibberish: unique trigrams
+        "the cat sat on the mat",    # exact repeat
+        "ab",                        # too short for any trigram
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_rare, r.rare_ppm)
+        for r in rare_trigram_stats(df, min_count=3).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    corpus = Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        n = norm(t)
+        tris = [n[j:j + 3] for j in range(len(n) - 2)] if len(n) >= 3 else []
+        per_doc[i] = Counter(tris)
+        corpus.update(tris)
+    for i in per_doc:
+        n_tri = sum(per_doc[i].values())
+        n_rare = sum(c for t, c in per_doc[i].items() if corpus[t] < 3)
+        ppm = math.floor((n_rare / (n_tri if n_tri else 1)) * 1e6)
+        assert got[i] == (n_tri, n_rare, ppm), f"doc {i}"
+    # the gibberish doc is maximally rare; identical docs score equal
+    # and far lower (their shared trigrams are common, only the "mat"
+    # tail trigrams are <3 across the corpus)
+    assert got[3][2] == 1_000_000
+    assert got[0] == got[4] and got[0][2] < 500_000
+    # short/empty docs present with zeros
+    assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)

@@ -109,6 +109,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
     ),
+    "rare_trigram_score": (
+        # corpus trigram counts must BROADCAST back (vocab is bounded
+        # by charset^3) — never a sort-merge against the explode side
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
     "hash_split": (
         # map-side split labelling: scan pruned to doc_id, no exchange
         [r"ReadSchema: [^\n]*doc_id"],
