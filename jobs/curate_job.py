@@ -15,7 +15,7 @@ observable, never silent.
         jobs/curate_job.py \
         --input  /path/to/docs.parquet \
         --output /path/to/curated \
-        [--quality-filter] \
+        [--quality-filter] [--max-rare-ppm 500000] \
         [--dedup exact|near] [--threshold 0.8] \
         [--pages --domain-cap K] \
         [--stratify-col lang --stratify-budget N --alpha 0.5] \
@@ -74,6 +74,9 @@ def main():
     p.add_argument("--presample-margin", type=float, default=1.3,
                    help="mega-stratum prefilter margin for the exact "
                         "stratified sampler (identical output)")
+    p.add_argument("--max-rare-ppm", type=int, default=None,
+                   help="drop docs whose rare-trigram fraction exceeds "
+                        "this ppm (corpus-relative gibberish gate)")
     p.add_argument("--token-budget-frac", type=float, default=None,
                    help="keep the best-quality-bucket-first prefix "
                         "holding this fraction of total tokens")
@@ -112,6 +115,18 @@ def main():
 
         df = df.filter(gopher_flags_exprs(F.col(args.text_col))["keep"])
         stages["after_quality"] = df.count()
+
+    if args.max_rare_ppm is not None:
+        from bloom_filters_spark.functions.text import rare_trigram_stats
+
+        scores = rare_trigram_stats(
+            df, id_col=key_col, text_col=args.text_col
+        )
+        keep = scores.filter(
+            F.col("rare_ppm") <= args.max_rare_ppm
+        ).select(key_col)
+        df = df.join(keep, key_col, "left_semi")
+        stages["after_rarity"] = df.count()
 
     if args.dedup == "exact":
         # keep the min-key row per normalized-text fingerprint
