@@ -259,3 +259,34 @@ def test_presample_margin_is_exact(docs, margin):
         stratified_sample(
             docs, "lang", fraction=0.3, presample_margin=0
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),            # doc_id (deduped below)
+            st.integers(0, 5),                # coarse score bucket
+            st.integers(0, 40),               # token count (zeros incl.)
+        ),
+        min_size=1, max_size=60,
+    ),
+    budget=st.integers(0, 1200),
+)
+def test_token_budget_property(spark, rows, budget):
+    """Two-phase plan ≡ global prefix cumsum for arbitrary bucketed
+    inputs and budgets (hypothesis-driven)."""
+    uniq = {r[0]: r for r in rows}
+    rows = list(uniq.values())
+    df = spark.createDataFrame(
+        rows, "doc_id long, score long, n_tokens long"
+    ).repartition(3)
+    out = token_budget_select(df, "score", "n_tokens", budget=budget)
+    assert {r.doc_id for r in out.collect()} == _prefix_oracle(rows, budget)
