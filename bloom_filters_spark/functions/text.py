@@ -158,7 +158,14 @@ def gopher_flags_exprs(
 ) -> dict:
     """Per-rule boolean verdicts of a Gopher/C4-style quality filter,
     plus the composite ``keep``.  Pure JVM expressions (one pass, no
-    Python), integer/ppm gates only — see GOPHER_DEFAULTS."""
+    Python), integer/ppm gates only — see GOPHER_DEFAULTS.
+
+    Limitation: the gates are whitespace-token heuristics calibrated
+    for space-delimited scripts.  CJK text tokenizes to a few huge
+    "words" and fails the mean-word-length gate regardless of quality —
+    route non-Latin scripts via ``lang_id_expr`` first and gate them
+    with script-appropriate thresholds (or rare_trigram_stats, which
+    is script-agnostic)."""
     p = dict(GOPHER_DEFAULTS)
     unknown = set(overrides) - set(p)
     if unknown:
