@@ -22,6 +22,11 @@ Design rules shared by every operator here:
 * **Declared plans.**  Everything is window/agg/join DataFrame ops —
   no Python in the row path — so Catalyst keeps pushdown/pruning and
   whole-stage codegen.
+* **Keys must be non-null.**  ``md5(NULL)`` is NULL: a null key is
+  silently DROPPED by the threshold/split filters but ranks FIRST in
+  the window operators (Spark sorts nulls first ascending) — two
+  different wrong answers.  Clean or coalesce the key column first;
+  these operators do not pay an extra pass to validate it.
 
 Scale notes (100 TB):
 
