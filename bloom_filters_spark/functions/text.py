@@ -358,7 +358,7 @@ def repetition_stats(df, ns: tuple = (2, 3), id_col: str = "doc_id",
 
 
 def rare_trigram_stats(df, min_count: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text", broadcast_vocab: bool = True):
     """CCNet-style rarity scoring without an external language model:
     per document, the fraction of its character trigrams whose CORPUS
     frequency is below ``min_count`` — high values flag gibberish,
@@ -370,9 +370,13 @@ def rare_trigram_stats(df, min_count: int = 3, id_col: str = "doc_id",
     Shape at scale: one linear trigram explode → per-(doc,tri) hash
     aggregate (map-side combined; hot trigrams in one doc collapse
     before the shuffle) → corpus counts derived FROM that aggregate
-    (second small shuffle) and **broadcast** back — the trigram
-    vocabulary is bounded by charset³, so the per-trigram side never
-    needs a shuffle join no matter the corpus size."""
+    (second small shuffle) and **broadcast** back — for space-delimited
+    scripts the trigram vocabulary is small (charset³-bounded and
+    Zipf-concentrated), so the per-trigram side needs no shuffle join
+    at any corpus size.  For large-script corpora (CJK at web scale can
+    reach 10⁸+ distinct trigrams) pass ``broadcast_vocab=False`` to use
+    a plain shuffle join instead of OOMing the broadcast; AQE handles
+    the residual skew."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     base = df.select(id_col, norm.alias("_nrm")).withColumn(
         "_len", F.length("_nrm")
@@ -391,8 +395,9 @@ def rare_trigram_stats(df, min_count: int = 3, id_col: str = "doc_id",
     )
     dc = tri.groupBy(id_col, "_tri").agg(F.count(F.lit(1)).alias("_c"))
     cc = dc.groupBy("_tri").agg(F.sum("_c").alias("_cc"))
+    cc = F.broadcast(cc) if broadcast_vocab else cc
     agg = (
-        dc.join(F.broadcast(cc), "_tri")
+        dc.join(cc, "_tri")
         .groupBy(id_col)
         .agg(
             F.sum("_c").alias("n_trigrams"),
