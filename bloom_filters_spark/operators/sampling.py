@@ -114,6 +114,11 @@ def hash_split(
     """
     if not weights:
         raise ValueError("weights must be a non-empty {label: fraction}")
+    bad = {k: v for k, v in weights.items() if not (0.0 <= v <= 1.0)}
+    if bad:
+        # a negative weight would pass the sum check but make its own
+        # range unreachable and silently mis-size its neighbors
+        raise ValueError(f"weights must each be in [0, 1], got {bad}")
     tot = sum(weights.values())
     if not (0.999 <= tot <= 1.001):
         raise ValueError(f"weights must sum to 1 (got {tot})")
@@ -139,8 +144,11 @@ def stratified_sample(
     alpha: float = 1.0,
     salt: str = "",
     presample_margin: Optional[float] = None,
+    max_strata: int = 1_000_000,
 ) -> DataFrame:
-    """Exact-count deterministic stratified sample.
+    """Exact-count deterministic stratified sample.  A NULL stratum is
+    a legitimate stratum (null-safe joins throughout, matching
+    :func:`per_stratum_cap`'s window behavior).
 
     Two modes:
 
@@ -219,6 +227,12 @@ def stratified_sample(
             ),
         )
     counts = counts.withColumn("_quota", quota)
+    # counts' stratum column is renamed so the join key is unambiguous
+    # AND null-safe: plain `join(..., strata_col)` uses `=`, which
+    # silently drops every NULL-stratum row
+    counts = counts.withColumnRenamed(strata_col, "_strat")
+    on = F.col(strata_col).eqNullSafe(F.col("_strat"))
+    aux = ["_h", "_rk", "_strat", "_n", "_w", "_wtot", "_quota"]
     if presample_margin is not None:
         if presample_margin <= 0:
             raise ValueError(
@@ -238,40 +252,50 @@ def stratified_sample(
                 ).cast("double"),
             ).cast("long"),
         )
+        # the shortfall protocol collects the per-stratum histogram
+        # twice — guard it like token_budget_select's max_buckets
+        quota_rows = counts.collect()
+        if len(quota_rows) > max_strata:
+            raise ValueError(
+                f"{len(quota_rows)} strata exceeds max_strata="
+                f"{max_strata}; the presample shortfall check collects "
+                "the per-stratum histogram to the driver — use the "
+                "plain path (presample_margin=None) or coarser strata"
+            )
         hv = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
-        base = df.withColumn("_h", h).join(
-            F.broadcast(counts), strata_col
-        ).withColumn("_hv", hv)
+        base = (
+            df.withColumn("_h", h)
+            .join(F.broadcast(counts), on)
+            .withColumn("_hv", hv)
+        )
         pre = base.filter(F.col("_hv") < F.col("_cut"))
         # shortfall check: the prefilter is only valid for a stratum if
         # it retained >= quota rows (then the quota smallest hashes all
         # lie under the cut); re-rank any short stratum unfiltered
         surv = {
-            r[strata_col]: r["_m"]
-            for r in pre.groupBy(strata_col)
+            r["_strat"]: r["_m"]
+            for r in pre.groupBy("_strat")
             .agg(F.count(F.lit(1)).alias("_m"))
             .collect()
         }
-        quotas = {
-            r[strata_col]: r["_quota"] for r in counts.collect()
-        }
+        quotas = {r["_strat"]: r["_quota"] for r in quota_rows}
         short = [s for s, q in quotas.items() if surv.get(s, 0) < q]
         if short:
+            null_short = any(s is None for s in short)
+            sc = F.col("_strat").isin([s for s in short if s is not None])
+            if null_short:
+                sc = sc | F.col("_strat").isNull()
             pre = pre.unionByName(
-                base.filter(
-                    F.col(strata_col).isin(short) & (F.col("_hv") >= F.col("_cut"))
-                )
+                base.filter(sc & (F.col("_hv") >= F.col("_cut")))
             )
         ranked = pre.drop("_hv", "_cut").withColumn(
             "_rk", F.row_number().over(w)
         )
-        return ranked.filter(F.col("_rk") <= F.col("_quota")).drop(
-            "_h", "_rk", "_n", "_w", "_wtot", "_quota"
-        )
+        return ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*aux)
     out = (
-        ranked.join(F.broadcast(counts), strata_col)
+        ranked.join(F.broadcast(counts), on)
         .filter(F.col("_rk") <= F.col("_quota"))
-        .drop("_h", "_rk", "_n", "_w", "_wtot", "_quota")
+        .drop(*aux)
     )
     return out
 
@@ -306,10 +330,14 @@ def token_budget_select(
     budget: Optional[int] = None,
     budget_frac: Optional[float] = None,
     max_buckets: int = 100_000,
+    salt: str = "",
 ) -> DataFrame:
     """Data selection under a token budget: walk documents from the
     highest ``score_col`` bucket down and keep the prefix whose
-    cumulative ``token_col`` stays within the budget.
+    cumulative ``token_col`` stays within the budget.  A NULL score
+    sorts below every real bucket (Spark's DESC NULLS LAST); NULL
+    tokens count as 0.  ``salt`` decorrelates the boundary-bucket
+    prefix from upstream md5-ordered stages (see module docstring).
 
     Semantics (identical to one global ordered cumulative sum): order
     all rows by ``(score DESC, md5(key), key)``; keep each row iff the
@@ -338,8 +366,12 @@ def token_budget_select(
         raise ValueError("pass exactly one of budget= or budget_frac=")
     hist = (
         df.groupBy(score_col)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("_tok"))
-        .orderBy(F.col(score_col).desc())
+        .agg(
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")), F.lit(0)
+            ).alias("_tok")
+        )
+        .orderBy(F.col(score_col).desc())   # DESC NULLS LAST
     )
     rows = hist.collect()
     if len(rows) > max_buckets:
@@ -355,6 +387,10 @@ def token_budget_select(
 
     remaining = int(budget)
     full_scores = []
+    # explicit flag, NOT a None sentinel: a NULL score is itself a
+    # legitimate (last) bucket, so boundary_score=None must stay
+    # distinguishable from "no boundary"
+    boundary_found = False
     boundary_score = None
     boundary_budget = 0
     for r in rows:
@@ -362,26 +398,36 @@ def token_budget_select(
             full_scores.append(r[score_col])
             remaining -= r["_tok"]
         else:
+            boundary_found = True
             boundary_score = r[score_col]
             boundary_budget = remaining
             break
 
     score = F.col(score_col)
-    if boundary_score is None:
+    if not boundary_found:
         # whole corpus fits the budget
         return df
-    floor_full = min(full_scores) if full_scores else None
-    kept_full = (
-        df.filter(score >= F.lit(floor_full))
-        if floor_full is not None
-        else None
+    real_full = [s for s in full_scores if s is not None]
+    full_cond = None
+    if real_full:
+        full_cond = score >= F.lit(min(real_full))
+    if len(real_full) < len(full_scores):  # NULL bucket fit entirely
+        null_cond = score.isNull()
+        full_cond = null_cond if full_cond is None else (full_cond | null_cond)
+    kept_full = df.filter(full_cond) if full_cond is not None else None
+    boundary_cond = (
+        score.isNull() if boundary_score is None
+        else score == F.lit(boundary_score)
     )
     wb = Window.orderBy("_h", key_col)
     boundary = (
-        df.filter(score == F.lit(boundary_score))
-        .withColumn("_h", rank_hash_expr(key_col))
+        df.filter(boundary_cond)
+        .withColumn("_h", rank_hash_expr(key_col, salt))
         .withColumn(
-            "_cum", F.sum(F.col(token_col).cast("long")).over(wb)
+            "_cum",
+            F.sum(
+                F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+            ).over(wb),
         )
         .filter(F.col("_cum") <= F.lit(boundary_budget))
         .drop("_h", "_cum")

@@ -77,6 +77,11 @@ def main():
     p.add_argument("--max-rare-ppm", type=int, default=None,
                    help="drop docs whose rare-trigram fraction exceeds "
                         "this ppm (corpus-relative gibberish gate)")
+    p.add_argument("--rarity-shuffle-join", action="store_true",
+                   help="with --max-rare-ppm: join corpus trigram "
+                        "counts with a shuffle instead of a broadcast "
+                        "(needed when the trigram vocabulary is huge, "
+                        "e.g. CJK web corpora)")
     p.add_argument("--token-budget-frac", type=float, default=None,
                    help="keep the best-quality-bucket-first prefix "
                         "holding this fraction of total tokens")
@@ -110,39 +115,44 @@ def main():
     t0 = time.time()
     stages = {"rows_in": df.count()}
 
-    if args.quality_filter:
-        from bloom_filters_spark.functions.text import gopher_flags_exprs
+    from bloom_filters_spark import curation as cur
 
-        df = df.filter(gopher_flags_exprs(F.col(args.text_col))["keep"])
-        stages["after_quality"] = df.count()
+    # Each stage persists its output before the count and unpersists
+    # its input: without this, every stages[...] count (and the final
+    # write) re-executes ALL prior stages from the parquet scan —
+    # O(stages**2) work at scale.
+    prev = [None]
+
+    def _advance(new_df, stage_key):
+        new_df = new_df.persist()
+        stages[stage_key] = new_df.count()
+        if prev[0] is not None:
+            prev[0].unpersist()
+        prev[0] = new_df
+        return new_df
+
+    if args.quality_filter:
+        df = _advance(
+            cur.quality_filter(df, text_col=args.text_col), "after_quality"
+        )
 
     if args.max_rare_ppm is not None:
-        from bloom_filters_spark.functions.text import rare_trigram_stats
-
-        scores = rare_trigram_stats(
-            df, id_col=key_col, text_col=args.text_col
+        df = _advance(
+            cur.rarity_filter(
+                df, args.max_rare_ppm, key_col=key_col,
+                text_col=args.text_col,
+                broadcast_vocab=not args.rarity_shuffle_join,
+            ),
+            "after_rarity",
         )
-        keep = scores.filter(
-            F.col("rare_ppm") <= args.max_rare_ppm
-        ).select(key_col)
-        df = df.join(keep, key_col, "left_semi")
-        stages["after_rarity"] = df.count()
 
     if args.dedup == "exact":
-        # keep the min-key row per normalized-text fingerprint
-        from pyspark.sql import Window
-
-        norm = F.regexp_replace(
-            F.trim(F.lower(F.col(args.text_col))), r"\s+", " "
+        df = _advance(
+            cur.exact_dedup_keep_min(
+                df, key_col=key_col, text_col=args.text_col
+            ),
+            "after_exact_dedup",
         )
-        w = Window.partitionBy("_fp").orderBy(key_col)
-        df = (
-            df.withColumn("_fp", F.md5(norm))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_fp", "_rn")
-        )
-        stages["after_exact_dedup"] = df.count()
     elif args.dedup == "near":
         from pyspark.sql import Window
 
@@ -171,29 +181,28 @@ def main():
             .filter(F.col("_rn") == 1)
             .select(key_col)
         )
-        df = df.join(keep, key_col, "left_semi")
-        stages["after_near_dedup"] = df.count()
+        df = _advance(df.join(keep, key_col, "left_semi"),
+                      "after_near_dedup")
 
     if args.domain_cap is not None:
-        from bloom_filters_spark.functions.url import host_expr
-        from bloom_filters_spark.operators.sampling import per_stratum_cap
-
-        df = per_stratum_cap(
-            df.withColumn("_host", host_expr(F.col("url"))),
-            "_host", args.domain_cap, key_col=key_col, salt="cap",
-        ).drop("_host")
-        stages["after_domain_cap"] = df.count()
+        df = _advance(
+            cur.domain_cap(df, args.domain_cap, key_col=key_col),
+            "after_domain_cap",
+        )
 
     if args.stratify_col:
         from bloom_filters_spark.operators.sampling import stratified_sample
 
-        df = stratified_sample(
-            df, args.stratify_col, key_col=key_col,
-            fraction=args.stratify_fraction,
-            budget=args.stratify_budget, alpha=args.alpha,
-            salt="stratify", presample_margin=args.presample_margin,
+        df = _advance(
+            stratified_sample(
+                df, args.stratify_col, key_col=key_col,
+                fraction=args.stratify_fraction,
+                budget=args.stratify_budget, alpha=args.alpha,
+                salt=cur.SALT_STRATIFY,
+                presample_margin=args.presample_margin,
+            ),
+            "after_stratify",
         )
-        stages["after_stratify"] = df.count()
 
     if args.token_budget_frac is not None:
         from bloom_filters_spark.functions.text import (
@@ -220,16 +229,19 @@ def main():
                 ),
             )
         )
-        df = token_budget_select(
-            df, "_score", "_tok", key_col=key_col,
-            budget_frac=args.token_budget_frac,
-        ).drop("_tok", "_score")
-        stages["after_token_budget"] = df.count()
+        df = _advance(
+            token_budget_select(
+                df, "_score", "_tok", key_col=key_col,
+                budget_frac=args.token_budget_frac,
+                salt=cur.SALT_TOKEN_BUDGET,
+            ).drop("_tok", "_score"),
+            "after_token_budget",
+        )
 
     if split:
         from bloom_filters_spark.operators.sampling import hash_split
 
-        df = hash_split(df, split, key_col=key_col, salt="split")
+        df = hash_split(df, split, key_col=key_col, salt=cur.SALT_SPLIT)
 
     df.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)

@@ -109,43 +109,31 @@ def main():
         p.error("--canonicalize-urls requires --pages (url-keyed input)")
     if args.domain_cap is not None and not args.pages:
         p.error("--domain-cap requires --pages (url-keyed input)")
+    if args.against and (args.pages or args.checkpoint_root):
+        # flag-compatibility errors must fire BEFORE any Spark action:
+        # the curation stages below run full count() jobs
+        p.error("--against is a standalone mode (plain doc tables, "
+                "no --pages/--checkpoint-root)")
     df = spark.read.parquet(args.input)
     t0 = time.time()
 
     curation = None
     if args.quality_filter or args.domain_cap is not None \
             or args.sample_fraction is not None:
+        from bloom_filters_spark import curation as cur
+
         key_col = "url" if args.pages else args.id_col
         curation = {"rows_in": df.count()}
         if args.quality_filter:
-            from bloom_filters_spark.functions.text import gopher_flags_exprs
-            from pyspark.sql import functions as F
-
-            df = df.filter(gopher_flags_exprs(F.col(args.text_col))["keep"])
+            df = cur.quality_filter(df, text_col=args.text_col)
             curation["after_quality"] = df.count()
         if args.domain_cap is not None:
-            from bloom_filters_spark.functions.url import host_expr
-            from bloom_filters_spark.operators.sampling import per_stratum_cap
-            from pyspark.sql import functions as F
-
-            df = per_stratum_cap(
-                df.withColumn("_host", host_expr(F.col("url"))),
-                "_host", args.domain_cap, key_col=key_col, salt="cap",
-            ).drop("_host")
+            df = cur.domain_cap(df, args.domain_cap, key_col=key_col)
             curation["after_domain_cap"] = df.count()
         if args.sample_fraction is not None:
-            from bloom_filters_spark.operators.sampling import (
-                hash_threshold_sample,
-            )
-
-            df = hash_threshold_sample(
-                df, args.sample_fraction, key_col=key_col, salt="sample",
-            )
+            df = cur.hash_sample(df, args.sample_fraction, key_col=key_col)
             curation["after_sample"] = df.count()
     if args.against:
-        if args.pages or args.checkpoint_root:
-            p.error("--against is a standalone mode (plain doc tables, "
-                    "no --pages/--checkpoint-root)")
         from bloom_filters_spark.pipeline import near_dup_against
 
         corpus = spark.read.parquet(args.against)

@@ -290,3 +290,42 @@ def test_token_budget_property(spark, rows, budget):
     ).repartition(3)
     out = token_budget_select(df, "score", "n_tokens", budget=budget)
     assert {r.doc_id for r in out.collect()} == _prefix_oracle(rows, budget)
+
+
+def test_null_strata_and_null_scores(spark):
+    """NULL strata are legitimate strata (null-safe joins — a plain
+    equality join would silently drop them); NULL scores form the last
+    budget bucket and NULL tokens count as 0."""
+    rows = [(i, None if i % 3 == 0 else "x") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", fraction=0.5)
+    got = {}
+    for r in out.collect():
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {None: 5, "x": 10}  # ceil(.5*10), ceil(.5*20)
+    fast = stratified_sample(df, "lang", fraction=0.5, presample_margin=0.4)
+    assert sorted((r.doc_id, r.lang) for r in fast.collect()) == sorted(
+        (r.doc_id, r.lang) for r in out.collect()
+    )
+
+    srows = [
+        (1, 5, 10), (2, 5, 10),          # top bucket: 20 tokens
+        (3, None, 10), (4, None, None),  # null bucket: 10 tokens
+    ]
+    sdf = spark.createDataFrame(srows, "doc_id long, score long, n_tokens long")
+    # budget hits inside the NULL bucket: boundary must be the null
+    # bucket (not misread as "everything fits")
+    out = token_budget_select(sdf, "score", "n_tokens", budget=25)
+    kept = {r.doc_id for r in out.collect()}
+    assert {1, 2} <= kept and len(kept) == 3  # 5 remaining: one of 3/4
+    # null tokens count as zero: with budget 20, the full real bucket
+    # fits and doc 4 (0 tokens) can enter the null boundary bucket
+    out20 = {r.doc_id for r in
+             token_budget_select(sdf, "score", "n_tokens", budget=20).collect()}
+    assert {1, 2} <= out20 and 3 not in out20
+    # whole corpus fits (30 total incl. null-as-zero)
+    assert len(token_budget_select(sdf, "score", "n_tokens", budget=30)
+               .collect()) == 4
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        from bloom_filters_spark.operators.sampling import hash_split
+        hash_split(sdf, {"a": -0.2, "b": 0.5, "c": 0.7})
