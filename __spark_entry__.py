@@ -671,6 +671,21 @@ def q_rare_trigram_score(spark, sf_dir):
     return rare_trigram_stats(_docs(spark, sf_dir), min_count=3)
 
 
+def q_latest_revision(spark, sf_dir):
+    """Cross-snapshot URL dedup, latest-revision-wins (CC recrawl
+    policy): synthetic messy URL + integer crawl_ts per doc; keep per
+    canonical URL the (max ts, max id) row via one integer-exact
+    struct-max aggregate — a single map-side-combined shuffle."""
+    from bloom_filters_spark.operators.dedup import keep_latest_revision
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        _synth_url_expr().alias("url"),
+        ((F.col("doc_id") * 37) % 1000).cast("long").alias("crawl_ts"),
+    )
+    return keep_latest_revision(docs)
+
+
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher-style composite document filter (Rae et al. 2021 §A1.1
     shape): per-rule boolean verdicts (token-count window, mean word
@@ -1177,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "hash_split": q_hash_split,
         "rare_trigram_score": q_rare_trigram_score,
+        "latest_revision": q_latest_revision,
     }
 
 
@@ -2307,5 +2323,65 @@ def oracle_sql() -> dict[str, str]:
                        THEN a.n_trigrams ELSE 1 END)) * 1000000.0)
                  AS BIGINT) AS rare_ppm
           FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # mirrors operators/dedup.keep_latest_revision over the same
+        # synthetic URL as url_canonical_dups (canon chain duplicated
+        # verbatim) + crawl_ts = (doc_id*37)%1000; winner = row_number
+        # over (ts DESC, id DESC), the dual of the struct-max
+        "latest_revision": r"""
+          WITH u AS (
+            SELECT doc_id, (doc_id * 37) % 1000 AS crawl_ts,
+              (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 10)::VARCHAR || '.COM:443'
+                    WHEN doc_id % 3 = 1 THEN 'https://site' || (doc_id % 10)::VARCHAR || '.com'
+                    ELSE 'https://Site' || (doc_id % 10)::VARCHAR || '.com:443' END)
+              ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/a/' || (doc_id % 5)::VARCHAR || '?utm_source=x&id=' || (doc_id % 2)::VARCHAR
+                    WHEN doc_id % 4 = 1 THEN '/a/' || (doc_id % 5)::VARCHAR || '?id=' || (doc_id % 2)::VARCHAR || '&fbclid=z#frag'
+                    WHEN doc_id % 4 = 2 THEN '/a/' || (doc_id % 5)::VARCHAR || '/#top'
+                    ELSE '/a/' || (doc_id % 5)::VARCHAR END) AS url
+            FROM documents
+          ), p AS (
+            SELECT doc_id, crawl_ts, url,
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+            FROM u
+          ), hp AS (
+            SELECT *, CASE WHEN scheme = 'http'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+                           WHEN scheme = 'https'
+                           THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+                           ELSE regexp_replace(hostraw, '^www\.', '') END AS host
+            FROM p
+          ), r1 AS (
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
+                '\?&+', '?', 'g'),
+              '&&+', '&', 'g') AS ra
+            FROM hp
+          ), r2 AS (
+            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+          ), r3 AS (
+            SELECT *, CASE WHEN rb NOT LIKE '%?%'
+                           THEN regexp_replace(rb, '/+$', '')
+                           ELSE rb END AS rc
+            FROM r2
+          ), canon AS (
+            SELECT doc_id, crawl_ts,
+              CASE WHEN scheme <> ''
+                   THEN scheme || '://' || host || (CASE WHEN rc = '' THEN '/' ELSE rc END)
+                   ELSE regexp_replace(url, '#.*$', '') END AS canon_url
+            FROM r3
+          ), rk AS (
+            SELECT canon_url, doc_id, crawl_ts,
+              row_number() OVER (PARTITION BY canon_url
+                  ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+              count(*) OVER (PARTITION BY canon_url) AS n
+            FROM canon
+          )
+          SELECT canon_url, doc_id AS kept_id, crawl_ts AS kept_ts,
+                 CAST(n AS BIGINT) AS n_revisions
+          FROM rk WHERE rn = 1
         """,
     }

@@ -67,6 +67,7 @@ HEADLINE = [
     "gopher_quality_flags",
     "hash_split",
     "rare_trigram_score",
+    "latest_revision",
 ]
 
 

@@ -33,6 +33,36 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def keep_latest_revision(df: DataFrame, url_col: str = "url",
+                         ts_col: str = "crawl_ts",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-snapshot URL dedup with latest-revision-wins semantics
+    (the standard Common-Crawl recrawl policy): canonicalize the URL,
+    keep per canonical URL the row with the greatest ``ts_col``
+    (greatest ``id_col`` breaks ties), and report the revision count.
+
+    Output: (canon_url, kept_id, kept_ts, n_revisions).  One shuffle
+    (hash-agg on the canonical URL, map-side combined); the winner is
+    an integer-exact struct-max, so results are deterministic and
+    hash-safe cross-engine when ``ts_col`` is integral.
+    """
+    from bloom_filters_spark.functions.url import canonicalize_url_expr
+
+    canon = canonicalize_url_expr(F.col(url_col)).alias("canon_url")
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col))).alias("_best")
+    return (
+        df.select(canon, F.col(ts_col), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(best, F.count(F.lit(1)).alias("n_revisions"))
+        .select(
+            "canon_url",
+            F.col("_best")[id_col].alias("kept_id"),
+            F.col("_best")[ts_col].alias("kept_ts"),
+            "n_revisions",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,

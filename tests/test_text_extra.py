@@ -330,3 +330,30 @@ def test_rare_trigram_stats_matches_python(spark):
     assert got[0] == got[4] and got[0][2] < 500_000
     # short/empty docs present with zeros
     assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
+
+
+def test_keep_latest_revision(spark):
+    from bloom_filters_spark.operators.dedup import keep_latest_revision
+
+    rows = [
+        # three revisions of one page (messy variants canonicalize
+        # together), distinct ts; winner = max ts
+        (1, 100, "https://WWW.Example.com:443/a?utm_source=x"),
+        (2, 300, "https://example.com/a"),
+        (3, 200, "https://Example.com/a/#frag"),
+        # ts tie: max id wins
+        (4, 500, "https://other.org/b"),
+        (5, 500, "https://other.org/b/"),
+        # singleton
+        (6, 1, "https://solo.net/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, crawl_ts long, url string")
+    got = {
+        r.canon_url: (r.kept_id, r.kept_ts, r.n_revisions)
+        for r in keep_latest_revision(df).collect()
+    }
+    assert got == {
+        "https://example.com/a": (2, 300, 3),
+        "https://other.org/b": (5, 500, 2),
+        "https://solo.net/c": (6, 1, 1),
+    }

@@ -109,6 +109,14 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
     ),
+    "latest_revision": (
+        # one map-side-combined aggregate (struct-max lowers to
+        # SortAggregate — partial agg still precedes the exchange);
+        # text column never scanned
+        [r"SortAggregate|HashAggregate", r"ReadSchema: [^\n]*doc_id"],
+        [r"ReadSchema: [^\n]*text", r"Window", r"ArrowEvalPython",
+         r"BatchEvalPython"],
+    ),
     "rare_trigram_score": (
         # corpus trigram counts must BROADCAST back (vocab is bounded
         # by charset^3) — never a sort-merge against the explode side
