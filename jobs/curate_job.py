@@ -55,6 +55,10 @@ def main():
     p.add_argument("--pages", action="store_true",
                    help="input is a pages(url, ..., text) table; the id "
                         "key becomes url and --domain-cap is allowed")
+    p.add_argument("--latest-revision", action="store_true",
+                   help="with --pages: before anything else, keep only "
+                        "the newest crawl (max warc_ts, max url tie) of "
+                        "each canonical URL")
     p.add_argument("--quality-filter", action="store_true",
                    help="Gopher-style composite gates (default thresholds)")
     p.add_argument("--dedup", choices=["off", "exact", "near"],
@@ -103,6 +107,8 @@ def main():
 
     if args.domain_cap is not None and not args.pages:
         p.error("--domain-cap requires --pages")
+    if args.latest_revision and not args.pages:
+        p.error("--latest-revision requires --pages (url+warc_ts input)")
     if args.stratify_col and not (
         (args.stratify_budget is None) ^ (args.stratify_fraction is None)
     ):
@@ -130,6 +136,22 @@ def main():
             prev[0].unpersist()
         prev[0] = new_df
         return new_df
+
+    if args.latest_revision:
+        from bloom_filters_spark.operators.dedup import keep_latest_revision
+
+        winners = keep_latest_revision(
+            df, url_col="url", ts_col="warc_ts", id_col="url"
+        ).select(
+            F.col("kept_id").alias("url"),
+            F.col("kept_ts").alias("warc_ts"),
+        )
+        # semi-join on (url, ts): url alone would also keep OLDER rows
+        # that share the winner's exact raw url string
+        df = _advance(
+            df.join(winners, ["url", "warc_ts"], "left_semi"),
+            "after_latest_revision",
+        )
 
     if args.quality_filter:
         df = _advance(
