@@ -671,6 +671,21 @@ def q_rare_trigram_score(spark, sf_dir):
     return rare_trigram_stats(_docs(spark, sf_dir), min_count=3)
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist verdicts over the synthetic messy URLs: host
+    blocked iff it equals a blocklist domain or is a subdomain of one.
+    One literal-array membership + suffix test, pure JVM, shuffle-free
+    (a blocklist is thousands of entries; a million-entry list would
+    broadcast-semi-join on host_expr instead)."""
+    from bloom_filters_spark.functions.url import host_blocked_expr
+
+    blocked = ["site1.com", "site4.com", "site7.com"]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        host_blocked_expr(_synth_url_expr(), blocked).alias("blocked"),
+    )
+
+
 def q_latest_revision(spark, sf_dir):
     """Cross-snapshot URL dedup, latest-revision-wins (CC recrawl
     policy): synthetic messy URL + integer crawl_ts per doc; keep per
@@ -1193,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "rare_trigram_score": q_rare_trigram_score,
         "latest_revision": q_latest_revision,
+        "domain_blocklist": q_domain_blocklist,
     }
 
 
@@ -2383,5 +2399,33 @@ def oracle_sql() -> dict[str, str]:
           SELECT canon_url, doc_id AS kept_id, crawl_ts AS kept_ts,
                  CAST(n AS BIGINT) AS n_revisions
           FROM rk WHERE rn = 1
+        """,
+        # mirrors functions/url.py host_blocked_expr over the synth URL:
+        # host = lowercased authority, www/port stripped; blocked iff
+        # equal to a blocklist domain or a dot-suffix of one
+        "domain_blocklist": r"""
+          WITH u AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 10)::VARCHAR || '.COM:443'
+                    WHEN doc_id % 3 = 1 THEN 'https://site' || (doc_id % 10)::VARCHAR || '.com'
+                    ELSE 'https://Site' || (doc_id % 10)::VARCHAR || '.com:443' END)
+              ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/a/' || (doc_id % 5)::VARCHAR || '?utm_source=x&id=' || (doc_id % 2)::VARCHAR
+                    WHEN doc_id % 4 = 1 THEN '/a/' || (doc_id % 5)::VARCHAR || '?id=' || (doc_id % 2)::VARCHAR || '&fbclid=z#frag'
+                    WHEN doc_id % 4 = 2 THEN '/a/' || (doc_id % 5)::VARCHAR || '/#top'
+                    ELSE '/a/' || (doc_id % 5)::VARCHAR END) AS url
+            FROM documents
+          ), h AS (
+            SELECT doc_id,
+              regexp_replace(regexp_replace(
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                '^www\.', ''), ':[0-9]+$', '') AS host
+            FROM u
+          )
+          SELECT doc_id,
+            list_count(list_filter(['site1.com', 'site4.com', 'site7.com'],
+              b -> host = b OR suffix(host, '.' || b))) > 0 AS blocked
+          FROM h
         """,
     }

@@ -68,6 +68,7 @@ HEADLINE = [
     "hash_split",
     "rare_trigram_score",
     "latest_revision",
+    "domain_blocklist",
 ]
 
 

@@ -78,6 +78,15 @@ def domain_cap(
     ).drop("_host")
 
 
+def blocklist_filter(
+    df: DataFrame, blocked_hosts, url_col: str = "url"
+) -> DataFrame:
+    """Drop docs whose host is a blocked domain or subdomain of one."""
+    from bloom_filters_spark.functions.url import host_blocked_expr
+
+    return df.filter(~host_blocked_expr(F.col(url_col), blocked_hosts))
+
+
 def hash_sample(
     df: DataFrame, fraction: float, key_col: str
 ) -> DataFrame:

@@ -40,6 +40,20 @@ def host_expr(url: Column) -> Column:
     return F.regexp_replace(host, r":[0-9]+$", "")
 
 
+def host_blocked_expr(url: Column, blocked_hosts) -> Column:
+    """True when the URL's host is a blocked domain or any subdomain of
+    one (``a.b.example.com`` matches blocklist entry ``example.com``).
+    ``blocked_hosts`` is a small Python list (domain blocklists are
+    thousands of entries) compiled into ONE literal array membership +
+    suffix test — pure JVM, no join, no shuffle; for million-entry
+    blocklists use a broadcast semi-join on host_expr instead."""
+    h = host_expr(url)
+    arr = F.array(*[F.lit(b.lower()) for b in blocked_hosts])
+    return F.exists(
+        arr, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
+    )
+
+
 def canonicalize_url_expr(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, HOST_RE, 1))

@@ -59,6 +59,10 @@ def main():
                    help="with --pages: before anything else, keep only "
                         "the newest crawl (max warc_ts, max url tie) of "
                         "each canonical URL")
+    p.add_argument("--blocklist", default=None,
+                   help="with --pages: comma-separated blocked domains "
+                        "(subdomains match); applied right after "
+                        "--latest-revision")
     p.add_argument("--quality-filter", action="store_true",
                    help="Gopher-style composite gates (default thresholds)")
     p.add_argument("--dedup", choices=["off", "exact", "near"],
@@ -109,6 +113,8 @@ def main():
         p.error("--domain-cap requires --pages")
     if args.latest_revision and not args.pages:
         p.error("--latest-revision requires --pages (url+warc_ts input)")
+    if args.blocklist and not args.pages:
+        p.error("--blocklist requires --pages (url-keyed input)")
     if args.stratify_col and not (
         (args.stratify_budget is None) ^ (args.stratify_fraction is None)
     ):
@@ -151,6 +157,14 @@ def main():
         df = _advance(
             df.join(winners, ["url", "warc_ts"], "left_semi"),
             "after_latest_revision",
+        )
+
+    if args.blocklist:
+        df = _advance(
+            cur.blocklist_filter(
+                df, [b.strip() for b in args.blocklist.split(",") if b.strip()]
+            ),
+            "after_blocklist",
         )
 
     if args.quality_filter:

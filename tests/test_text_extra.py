@@ -357,3 +357,25 @@ def test_keep_latest_revision(spark):
         "https://other.org/b": (5, 500, 2),
         "https://solo.net/c": (6, 1, 1),
     }
+
+
+def test_host_blocked_expr(spark):
+    from bloom_filters_spark.functions.url import host_blocked_expr
+
+    rows = [
+        (1, "https://example.com/x"),            # exact match
+        (2, "https://a.b.example.com/x"),        # subdomain match
+        (3, "https://WWW.EXAMPLE.COM:443/x"),    # case/www/port stripped
+        (4, "https://notexample.com/x"),         # suffix-string trap: no dot
+        (5, "https://example.com.evil.io/x"),    # blocked domain NOT a suffix
+        (6, "https://clean.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r.blocked
+        for r in df.select(
+            "doc_id",
+            host_blocked_expr(F.col("url"), ["example.com"]).alias("blocked"),
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}

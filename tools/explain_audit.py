@@ -109,6 +109,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
         [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
     ),
+    "domain_blocklist": (
+        # literal-array membership: shuffle-free, no Python, text unscanned
+        [r"ReadSchema: [^\n]*doc_id"],
+        [r"ReadSchema: [^\n]*text", r"Exchange", r"ArrowEvalPython",
+         r"BatchEvalPython"],
+    ),
     "latest_revision": (
         # one map-side-combined aggregate (struct-max lowers to
         # SortAggregate — partial agg still precedes the exchange);
