@@ -1,0 +1,99 @@
+"""spark-submit entry points driven end-to-end as subprocesses (the
+actual user surface: argument parsing, stage wiring, metrics JSON).
+Runs at sf0.001 to keep the suite fast."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run_job(script, *args):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", script), *args],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path_factory.mktemp("jobs") / "pages.parquet")
+    d = spark.read.parquet(DOCS)
+    d.select(
+        F.concat(
+            F.lit("https://WWW.site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com:443/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        "text", "lang",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_curate_job_chain(tmp_path):
+    out = str(tmp_path / "curated")
+    m = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", out,
+        "--max-rare-ppm", "900000", "--dedup", "exact",
+        "--stratify-col", "lang", "--stratify-fraction", "0.5",
+        "--split", "train=0.8,val=0.1,test=0.1",
+    )
+    st = m["stages"]
+    assert st["rows_in"] == 500
+    # every requested stage reported, monotone non-increasing
+    keys = ["rows_in", "after_rarity", "after_exact_dedup",
+            "after_stratify", "rows_out"]
+    vals = [st[k] for k in keys]
+    assert vals == sorted(vals, reverse=True)
+    assert sum(m["splits"].values()) == st["rows_out"] > 0
+    # metrics JSON persisted next to the output
+    assert json.load(open(out + "_metrics.json")) == m
+
+
+def test_curate_job_pages_stages(pages_parquet, tmp_path):
+    out = str(tmp_path / "curated_pages")
+    m = _run_job(
+        "curate_job.py", "--input", pages_parquet, "--output", out,
+        "--pages", "--latest-revision",
+        "--blocklist", "site0.com,site3.com", "--domain-cap", "5",
+    )
+    st = m["stages"]
+    # 7 synthetic hosts; blocking 2 drops 2/7 of 500; cap 5/host
+    assert st["after_blocklist"] == 357
+    assert st["after_domain_cap"] == 25 == st["rows_out"]
+
+
+def test_curate_job_rejects_bad_flags(tmp_path):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", DOCS, "--output", str(tmp_path / "x"),
+         "--domain-cap", "3"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode != 0
+    assert "--domain-cap requires --pages" in out.stderr
+
+
+def test_near_dup_job_with_curation(tmp_path):
+    out = str(tmp_path / "clusters")
+    m = _run_job(
+        "near_dup_job.py", "--input", DOCS, "--output", out,
+        "--sample-fraction", "0.5",
+    )
+    cur = m["curation"]
+    assert cur["rows_in"] == 500
+    assert 0 < cur["after_sample"] < 500
+    assert m["rows"] == cur["after_sample"]
+    assert m["clusters"] <= m["rows"]
