@@ -38,9 +38,12 @@ Scale notes (100 TB):
   control (binomial rate around the target fraction).
 * ``token_budget_select`` never globally sorts the corpus: it
   aggregates per score-bucket (small), resolves the budget boundary on
-  the driver over the bucket histogram, and only the single boundary
-  bucket is ordered.  The caller must pass a *coarse* integer score
-  (bucketed — e.g. 0..100); ``max_buckets`` guards the driver collect.
+  the driver over the bucket histogram, then resolves WITHIN the
+  boundary bucket the same way one level down (md5-prefix sub-buckets),
+  so the only ordered window is ~1/65536 of one bucket — no
+  single-partition global sort anywhere.  The caller must pass a
+  *coarse* integer score (bucketed — e.g. 0..100); ``max_buckets``
+  guards the driver collect.
 """
 
 from __future__ import annotations
@@ -133,6 +136,85 @@ def hash_split(
     last = F.lit(labels[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def _presample_precut(
+    df: DataFrame,
+    h,
+    counts: DataFrame,
+    on,
+    margin: float,
+    max_strata: int,
+) -> DataFrame:
+    """Shared hash-prefix precut for the rank-within-stratum operators
+    (:func:`stratified_sample`, :func:`per_stratum_cap`).
+
+    ``counts`` must carry ``(_strat, _n, _quota)``.  Rows whose 32-bit
+    hash prefix falls under ``quota/N * margin`` of the hash space
+    survive the prefilter, so the per-stratum rank sort sees
+    ~``quota*margin`` rows instead of ``N`` — the mega-stratum scale
+    path.  Exactness protocol: the quota smallest hashes all lie under
+    the cut whenever the cut retained >= quota rows; a per-stratum
+    shortfall check (one tiny aggregate + driver compare over the
+    ``max_strata``-guarded histogram) re-admits the full tail of any
+    stratum where the binomial draw came up short, so the later rank
+    filter returns EXACTLY the unfiltered computation's rows.
+
+    Returns ``df`` + ``_h`` + the counts columns, prefiltered.
+    """
+    if margin <= 0:
+        raise ValueError(f"presample_margin must be > 0, got {margin}")
+    # per-stratum prefilter BEFORE the rank sort: keep rows whose
+    # 32-bit hash prefix is under quota/N*margin of the hash space
+    counts = counts.withColumn(
+        "_cut",
+        F.least(
+            F.lit(float(1 << 32)),
+            F.ceil(
+                F.col("_quota").cast("double")
+                / F.col("_n").cast("double")
+                * F.lit(float(margin))
+                * F.lit(float(1 << 32))
+            ).cast("double"),
+        ).cast("long"),
+    )
+    # the shortfall protocol collects the per-stratum histogram
+    # twice — guard it like token_budget_select's max_buckets
+    quota_rows = counts.collect()
+    if len(quota_rows) > max_strata:
+        raise ValueError(
+            f"{len(quota_rows)} strata exceeds max_strata="
+            f"{max_strata}; the presample shortfall check collects "
+            "the per-stratum histogram to the driver — use the "
+            "plain path (presample_margin=None) or coarser strata"
+        )
+    hv = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+    base = (
+        df.withColumn("_h", h)
+        .join(F.broadcast(counts), on)
+        .withColumn("_hv", hv)
+    )
+    pre = base.filter(F.col("_hv") < F.col("_cut"))
+    # shortfall check: the prefilter is only valid for a stratum if
+    # it retained >= quota rows (then the quota smallest hashes all
+    # lie under the cut); re-rank any short stratum unfiltered
+    surv = {
+        r["_strat"]: r["_m"]
+        for r in pre.groupBy("_strat")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .collect()
+    }
+    quotas = {r["_strat"]: r["_quota"] for r in quota_rows}
+    short = [s for s, q in quotas.items() if surv.get(s, 0) < q]
+    if short:
+        null_short = any(s is None for s in short)
+        sc = F.col("_strat").isin([s for s in short if s is not None])
+        if null_short:
+            sc = sc | F.col("_strat").isNull()
+        pre = pre.unionByName(
+            base.filter(sc & (F.col("_hv") >= F.col("_cut")))
+        )
+    return pre.drop("_hv", "_cut")
 
 
 def stratified_sample(
@@ -234,63 +316,10 @@ def stratified_sample(
     on = F.col(strata_col).eqNullSafe(F.col("_strat"))
     aux = ["_h", "_rk", "_strat", "_n", "_w", "_wtot", "_quota"]
     if presample_margin is not None:
-        if presample_margin <= 0:
-            raise ValueError(
-                f"presample_margin must be > 0, got {presample_margin}"
-            )
-        # per-stratum prefilter BEFORE the rank sort: keep rows whose
-        # 32-bit hash prefix is under quota/N*margin of the hash space
-        counts = counts.withColumn(
-            "_cut",
-            F.least(
-                F.lit(float(1 << 32)),
-                F.ceil(
-                    F.col("_quota").cast("double")
-                    / F.col("_n").cast("double")
-                    * F.lit(float(presample_margin))
-                    * F.lit(float(1 << 32))
-                ).cast("double"),
-            ).cast("long"),
+        pre = _presample_precut(
+            df, h, counts, on, presample_margin, max_strata
         )
-        # the shortfall protocol collects the per-stratum histogram
-        # twice — guard it like token_budget_select's max_buckets
-        quota_rows = counts.collect()
-        if len(quota_rows) > max_strata:
-            raise ValueError(
-                f"{len(quota_rows)} strata exceeds max_strata="
-                f"{max_strata}; the presample shortfall check collects "
-                "the per-stratum histogram to the driver — use the "
-                "plain path (presample_margin=None) or coarser strata"
-            )
-        hv = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
-        base = (
-            df.withColumn("_h", h)
-            .join(F.broadcast(counts), on)
-            .withColumn("_hv", hv)
-        )
-        pre = base.filter(F.col("_hv") < F.col("_cut"))
-        # shortfall check: the prefilter is only valid for a stratum if
-        # it retained >= quota rows (then the quota smallest hashes all
-        # lie under the cut); re-rank any short stratum unfiltered
-        surv = {
-            r["_strat"]: r["_m"]
-            for r in pre.groupBy("_strat")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .collect()
-        }
-        quotas = {r["_strat"]: r["_quota"] for r in quota_rows}
-        short = [s for s, q in quotas.items() if surv.get(s, 0) < q]
-        if short:
-            null_short = any(s is None for s in short)
-            sc = F.col("_strat").isin([s for s in short if s is not None])
-            if null_short:
-                sc = sc | F.col("_strat").isNull()
-            pre = pre.unionByName(
-                base.filter(sc & (F.col("_hv") >= F.col("_cut")))
-            )
-        ranked = pre.drop("_hv", "_cut").withColumn(
-            "_rk", F.row_number().over(w)
-        )
+        ranked = pre.withColumn("_rk", F.row_number().over(w))
         return ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*aux)
     out = (
         ranked.join(F.broadcast(counts), on)
@@ -306,19 +335,43 @@ def per_stratum_cap(
     k: int,
     key_col: str = "doc_id",
     salt: str = "",
+    presample_margin: Optional[float] = None,
+    max_strata: int = 1_000_000,
 ) -> DataFrame:
     """Keep at most ``k`` rows per stratum (C4-style per-domain cap),
     chosen deterministically as the ``k`` smallest ``md5(key)`` within
-    the stratum.  One exchange on ``strata_col``; same skew caveat as
-    :func:`stratified_sample`."""
+    the stratum.  One exchange on ``strata_col``.
+
+    ``presample_margin`` (e.g. ``1.3``) is the hot-stratum scale path —
+    the same hash-prefix precut as :func:`stratified_sample`: a domain
+    with 10⁸ pages under ``k=10⁵`` pre-filters to ~``k*margin`` rows
+    before the rank sort, instead of sorting the whole stratum in one
+    window task.  Exact by the shortfall protocol (see
+    :func:`_presample_precut`); costs one extra aggregate + a
+    ``max_strata``-guarded driver histogram."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     w = Window.partitionBy(strata_col).orderBy("_h", key_col)
+    h = rank_hash_expr(key_col, salt)
+    if presample_margin is None:
+        return (
+            df.withColumn("_h", h)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.lit(int(k)))
+            .drop("_h", "_rk")
+        )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_quota", F.least(F.lit(int(k)), F.col("_n")))
+        .withColumnRenamed(strata_col, "_strat")
+    )
+    on = F.col(strata_col).eqNullSafe(F.col("_strat"))
+    pre = _presample_precut(df, h, counts, on, presample_margin, max_strata)
     return (
-        df.withColumn("_h", rank_hash_expr(key_col, salt))
-        .withColumn("_rk", F.row_number().over(w))
+        pre.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.lit(int(k)))
-        .drop("_h", "_rk")
+        .drop("_h", "_rk", "_strat", "_n", "_quota")
     )
 
 
@@ -353,10 +406,12 @@ def token_budget_select(
        (``max_buckets`` guards the collect: the score MUST be a coarse
        integer bucket, e.g. 0..100 — raise, never OOM, past the guard);
     3. keep full buckets above the boundary with a plain filter
-       (map-side, codegen); order *only the boundary bucket* by
-       ``(md5(key), key)`` for the residual prefix — a single-partition
-       window over ~1/buckets of the data, the same trick as a
-       distributed top-k boundary resolution.
+       (map-side, codegen); resolve the residual prefix INSIDE the
+       boundary bucket by recursing one level on the md5's own leading
+       hex digits: a second tiny histogram picks the landing
+       sub-bucket, earlier sub-buckets pass a map-side filter, and the
+       ordered cumulative sum runs over that single sub-bucket only
+       (~bucket/65536 rows) — no global single-partition window.
 
     ``budget_frac`` computes ``budget = floor(frac * Σ tokens)`` from
     the data (one extra tiny aggregate), so the selection rate is
@@ -419,17 +474,58 @@ def token_budget_select(
         score.isNull() if boundary_score is None
         else score == F.lit(boundary_score)
     )
-    wb = Window.orderBy("_h", key_col)
-    boundary = (
+    # Boundary-bucket prefix WITHOUT a global single-partition sort:
+    # the global order (md5, key) is refined by the md5's own leading
+    # hex digits, so sub-bucketing on the first `boundary_prefix_len`
+    # hex chars (65536 sub-buckets at 4) preserves the order BETWEEN
+    # sub-buckets for free.  Resolve which sub-bucket the residual
+    # budget lands in on the driver (tiny histogram, ≤16^4 rows), keep
+    # earlier sub-buckets with a map-side filter, and run the ordered
+    # cumulative sum over the ONE landing sub-bucket — a window whose
+    # partition is ~1/65536 of the bucket instead of all of it.
+    boundary_prefix_len = 4
+    tok_long = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    b = (
         df.filter(boundary_cond)
         .withColumn("_h", rank_hash_expr(key_col, salt))
         .withColumn(
-            "_cum",
-            F.sum(
-                F.coalesce(F.col(token_col).cast("long"), F.lit(0))
-            ).over(wb),
+            "_sb",
+            F.conv(
+                F.substring(F.col("_h"), 1, boundary_prefix_len), 16, 10
+            ).cast("long"),
         )
-        .filter(F.col("_cum") <= F.lit(boundary_budget))
-        .drop("_h", "_cum")
     )
+    sb_rows = (
+        b.groupBy("_sb")
+        .agg(F.sum(tok_long).alias("_tok"))
+        .orderBy("_sb")
+        .collect()
+    )
+    rem = int(boundary_budget)
+    landing_sb = None
+    landing_budget = 0
+    for r in sb_rows:
+        if r["_tok"] <= rem:
+            rem -= r["_tok"]
+        else:
+            landing_sb = r["_sb"]
+            landing_budget = rem
+            break
+    if landing_sb is None:
+        # cannot happen when the bucket exceeded the budget, but stay
+        # safe: the whole boundary bucket fits
+        boundary = b.drop("_h", "_sb")
+    else:
+        below = b.filter(F.col("_sb") < F.lit(landing_sb)).drop("_h", "_sb")
+        # partitionBy(_sb) = one group (all rows share landing_sb):
+        # semantically the single ordered prefix, but a declared
+        # partition spec — and at scale a 1/16^len-sized one
+        wb = Window.partitionBy("_sb").orderBy("_h", key_col)
+        edge = (
+            b.filter(F.col("_sb") == F.lit(landing_sb))
+            .withColumn("_cum", F.sum(tok_long).over(wb))
+            .filter(F.col("_cum") <= F.lit(landing_budget))
+            .drop("_h", "_sb", "_cum")
+        )
+        boundary = below.unionByName(edge)
     return boundary if kept_full is None else kept_full.unionByName(boundary)

@@ -85,7 +85,34 @@ def _partition_sketches(df: DataFrame, col: str, make, add_batch,
     return projected.mapInPandas(build, "sketch binary")
 
 
-def _merge_partials(partials: DataFrame, cls):
+def _merge_partials(partials: DataFrame, cls, fanin: int = 64):
+    """Merge per-partition sketch partials into one sketch.
+
+    Up to ``fanin`` input partitions the partials are collected and
+    folded on the driver (≤ fanin rows — cheap and allocation-light).
+    Above it, a tree level runs first: partials group by
+    ``pmod(partition_id, fanin)`` and merge INSIDE executors
+    (``applyInPandas``), so the driver sees ≤ fanin pre-merged sketches
+    no matter how many input partitions the scan had — at 100k-partition
+    scans with multi-MB CMS/Bloom bitsets the old flat collect was
+    driver memory and single-threaded merge time.  Every sketch routed
+    here merges as a commutative monoid (bitset OR / counter sum /
+    register max), so the result is byte-identical regardless of merge
+    order — pytest asserts tree ≡ sequential."""
+    if partials.rdd.getNumPartitions() > fanin:
+        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            merged = cls.from_bytes(pdf["sketch"].iloc[0])
+            for blob in pdf["sketch"].iloc[1:]:
+                merged = merged.merge(cls.from_bytes(blob))
+            return pd.DataFrame({"sketch": [merged.to_bytes()]})
+
+        partials = (
+            partials.withColumn(
+                "_g", F.pmod(F.spark_partition_id(), F.lit(fanin))
+            )
+            .groupBy("_g")
+            .applyInPandas(_merge_group, "sketch binary")
+        )
     rows = partials.collect()
     if not rows:
         return None

@@ -325,3 +325,55 @@ def test_ivf_training_guard(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="n_centroids"):
         train_ivf_centroids(df, n_centroids=8, sample_size=5)
+
+
+def test_tree_merge_partials_byte_equal(spark):
+    """Above the fanin the sketch partials pre-merge inside executors
+    (one applyInPandas level) instead of a flat driver collect; every
+    routed sketch is a commutative monoid (OR / sum / max), so the tree
+    result must be BYTE-identical to the sequential driver fold — and
+    a build over a 2,200-partition scan must succeed with the driver
+    only ever seeing <= fanin pre-merged rows."""
+    from bloom_filters_spark.operators.sketch_agg import (
+        _merge_partials,
+        _partition_sketches,
+        build_bloom,
+        build_cms,
+        hll_distinct,
+    )
+    from bloom_filters_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(600)], "k string"
+    ).repartition(130)  # > fanin=64 → tree level engages
+
+    cases = [
+        (BloomFilter, lambda: BloomFilter.create(2000, 0.01),
+         lambda s, v: s.add_batch(v)),
+        (CountMinSketch, lambda: CountMinSketch.create(1e-3, 0.99),
+         lambda s, v: s.update_batch(v)),
+        (HyperLogLog, lambda: HyperLogLog(256, 0x1234567890),
+         lambda s, v: s.update_batch(v)),
+    ]
+    for cls, make, add in cases:
+        partials = _partition_sketches(df, "k", make, add)
+        tree = _merge_partials(partials, cls, fanin=64)
+        partials2 = _partition_sketches(df, "k", make, add)
+        seq = _merge_partials(partials2, cls, fanin=10**9)  # flat fold
+        assert tree.to_bytes() == seq.to_bytes(), cls.__name__
+
+    # the verdict-r3 fixture: a >=2048-partition bloom build end-to-end
+    wide = spark.createDataFrame(
+        [(i,) for i in range(3000)], "k long"
+    ).repartition(2200)
+    bf = build_bloom(wide, "k", capacity=4000, error_rate=0.01)
+    assert all(bf.has_batch(__import__("numpy").arange(3000)))
+    # CMS / HLL distributed entry points still work above the fanin
+    cms = build_cms(df, "k")
+    assert cms.count("k0") >= 1
+    est = hll_distinct(df, "k", m=256)
+    assert 400 < est < 800

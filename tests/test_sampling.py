@@ -329,3 +329,67 @@ def test_null_strata_and_null_scores(spark):
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         from bloom_filters_spark.operators.sampling import hash_split
         hash_split(sdf, {"a": -0.2, "b": 0.5, "c": 0.7})
+
+
+@pytest.mark.parametrize("margin", [1.5, 0.1])
+def test_per_stratum_cap_presample_exact(spark, margin):
+    """Hot-domain fixture (one stratum 100x the median): the presample
+    precut must return EXACTLY the plain path's rows — margin 0.1
+    deliberately undershoots so the shortfall fallback engages; 1.5
+    exercises the fast path."""
+    rows = [(i, "hot") for i in range(4000)]
+    rows += [(10_000 + i, f"d{i % 8}") for i in range(320)]
+    df = spark.createDataFrame(rows, "doc_id long, host string").repartition(7)
+    plain = per_stratum_cap(df, "host", 10, salt="cap")
+    fast = per_stratum_cap(
+        df, "host", 10, salt="cap", presample_margin=margin
+    )
+    assert sorted(r.doc_id for r in fast.collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
+    if margin == 1.5:
+        # evidence the precut ENGAGES on the hot stratum: replicate the
+        # cut in Python — the prefilter passes ~k*margin of 4000 rows,
+        # orders of magnitude below the stratum size, and holds >= k
+        # rows so no shortfall re-rank was needed
+        cut = math.ceil(10 / 4000 * margin * (1 << 32))
+        pre = [
+            i for i in range(4000)
+            if int(hashlib.md5((str(i) + "cap").encode()).hexdigest()[:8], 16)
+            < cut
+        ]
+        assert 10 <= len(pre) < 400
+
+
+def test_per_stratum_cap_presample_guards(docs):
+    with pytest.raises(ValueError, match="presample_margin"):
+        per_stratum_cap(docs, "lang", 5, presample_margin=0)
+    with pytest.raises(ValueError, match="max_strata"):
+        per_stratum_cap(docs, "doc_id", 1, presample_margin=1.3,
+                        max_strata=10)
+
+
+def test_per_stratum_cap_presample_null_stratum(spark):
+    """NULL strata survive the precut's null-safe join, identical to
+    the plain path."""
+    rows = [(i, None if i % 3 == 0 else "x") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plain = per_stratum_cap(df, "lang", 4)
+    fast = per_stratum_cap(df, "lang", 4, presample_margin=1.3)
+    assert sorted((r.doc_id, r.lang) for r in fast.collect()) == sorted(
+        (r.doc_id, r.lang) for r in plain.collect()
+    )
+
+
+def test_token_budget_subbucket_boundary(spark):
+    """The boundary bucket resolves through md5-prefix sub-buckets (no
+    global unpartitioned window).  A single-score corpus makes the WHOLE
+    corpus the boundary bucket — the worst case for the old plan — and
+    the result must still equal the global prefix oracle."""
+    rows = [(i, 1, (i * 17 + 3) % 40) for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score long, n_tokens long"
+    ).repartition(13)
+    budget = 9000
+    out = token_budget_select(df, "score", "n_tokens", budget=budget)
+    assert {r.doc_id for r in out.collect()} == _prefix_oracle(rows, budget)
