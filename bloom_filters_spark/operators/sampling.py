@@ -295,10 +295,15 @@ def stratified_sample(
         scale = float(1 << 20)
         counts = counts.withColumn(
             "_w", F.floor(pw * F.lit(scale)).cast("long")
-        ).withColumn(
-            # integer sum over the tiny per-stratum histogram:
-            # order-free exact, unlike a float sum
-            "_wtot", F.sum("_w").over(Window.partitionBy())
+        )
+        # integer sum over the tiny per-stratum histogram: order-free
+        # exact, unlike a float sum.  A broadcast scalar-aggregate
+        # cross-join, not a window — an unpartitioned window (even one
+        # declared with a foldable lit() key, which the optimizer
+        # strips) plans a single-partition WindowExec and trips its
+        # global-window warning
+        counts = counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("_w").alias("_wtot")))
         )
         quota = F.least(
             F.col("_n"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bloom_filters_spark.hashing import DEFAULT_SEED
@@ -473,26 +473,31 @@ def topk_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     """The engine's exact batch top-k (SURVEY.md §2.4 TopK row):
     groupBy().count() + deterministic ORDER BY count DESC, value ASC
     LIMIT k — Spark plans partial+final hash agg and
-    TakeOrderedAndProject; one shuffle.  The rank window runs AFTER
-    LIMIT k, so its single partition holds at most k rows (constant
-    work at any corpus size); partitionBy(lit(0)) states that
-    explicitly instead of tripping the global-window warning."""
-    return (
+    TakeOrderedAndProject; one shuffle.  The rank is assigned AFTER
+    LIMIT k over the ≤k surviving rows — as 1 + the count of rows that
+    sort strictly earlier, via a broadcast self-join (k² comparisons on
+    k≈10s of rows).  Not a window: an unpartitioned rank window — even
+    one declared over lit(0), which the optimizer folds away — plans a
+    single-partition WindowExec and trips Spark's global-window
+    warning, which this engine treats as a real-hazard-only signal."""
+    top = (
         df.groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("frequency"))
         .orderBy(F.desc("frequency"), F.asc("value"))
         .limit(k)
-        .select(
-            "value",
-            "frequency",
-            F.row_number()
-            .over(
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.desc("frequency"), F.asc("value")
-                )
-            )
-            .alias("rank"),
+    )
+    other = F.broadcast(
+        top.select(
+            F.col("value").alias("_v"), F.col("frequency").alias("_f")
         )
+    )
+    earlier = (F.col("_f") > F.col("frequency")) | (
+        (F.col("_f") == F.col("frequency")) & (F.col("_v") < F.col("value"))
+    )
+    return (
+        top.join(other, earlier, "left")
+        .groupBy("value", "frequency")
+        .agg((F.count("_v") + 1).cast("int").alias("rank"))
     )
 
 
