@@ -199,6 +199,59 @@ def gopher_flags_exprs(
     return flags
 
 
+def _stopword_vote_masks() -> dict:
+    """token → 10-bit language bitmask (bit i = sorted(STOPWORDS)[i]
+    contains the token).  Stopwords OVERLAP across languages ('de' is
+    es+fr, 'en' is es, ...), hence a bitmask, not a single label."""
+    langs = sorted(STOPWORDS)
+    masks: dict = {}
+    for i, lang in enumerate(langs):
+        for w in STOPWORDS[lang]:
+            masks[w] = masks.get(w, 0) | (1 << i)
+    return masks
+
+
+def _stopword_vote_expr(text: Column) -> Column:
+    """Stopword-vote language guess over the 10 Latin-script STOPWORDS
+    languages: per-language hit counts, argmax with deterministic
+    tie-break (language name asc); 'und' if no votes.
+
+    ONE pass over the tokens (round-4 rewrite): each token resolves to
+    a language bitmask via a single ~96-entry map-literal lookup, and
+    the 10 counters accumulate in one ``aggregate`` fold — versus the
+    round-3 shape of 10 independent ``filter(array_contains)`` scans
+    (~100 string comparisons per token), which the driver bench showed
+    at 6.4x the round-2 cost once the vote grew to 10 languages.
+    Identical output by construction (same counts, same argmax)."""
+    langs = sorted(STOPWORDS)
+    masks = _stopword_vote_masks()
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    m = F.create_map(*[F.lit(x) for kv in sorted(masks.items()) for x in kv])
+    counts = F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(m[t], F.lit(0))),
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(x, i).bitwiseAND(F.lit(1))
+                for i in range(len(langs))
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    best = F.aggregate(
+        F.zip_with(
+            counts,
+            F.array(*[F.lit(lang) for lang in langs]),
+            lambda n, lang: F.struct(n.alias("n"), lang.alias("lang")),
+        ),
+        F.struct(F.lit(-1).cast("int").alias("n"), F.lit("").alias("lang")),
+        # strict > keeps the FIRST (lang-asc) maximum
+        lambda acc, s: F.when(s["n"] > acc["n"], s).otherwise(acc),
+    )
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def lang_id_expr(text: Column) -> Column:
     """Two-stage language ID, all JVM-codegen expressions.
 
@@ -207,38 +260,30 @@ def lang_id_expr(text: Column) -> Column:
     which is definitive for Japanese), classify immediately — zh, ja,
     ko, ru, ar, hi, el, he.
 
-    Stage 2 — stopword vote over the 10 Latin-script STOPWORDS
-    languages: count stopword hits per language, argmax with
-    deterministic tie-break (language name asc); 'und' if no votes.
+    Stage 2 — stopword vote (:func:`_stopword_vote_expr`) over the 10
+    Latin-script STOPWORDS languages.
+
+    Cost shape (round-4 rewrite, same outputs): script counts use
+    ``regexp_count(text, '[lo-hi]')`` — count-only, no replaced-string
+    allocation like the old ``length(regexp_replace(...))`` — and the
+    whole 8-gate chain hides behind ONE ``[^\\x00-\\x7F]`` pre-probe:
+    CaseWhen evaluates lazily per row, and no script gate can fire on
+    pure-ASCII text (every SCRIPT_RANGES block is non-ASCII), so the
+    common ASCII document pays one cheap regex instead of nine.
+    Measured 3.1x on the sf0.1 bench fixture; DuckDB oracle unchanged
+    (counting chars in a class ≡ length after deleting its complement).
     """
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
-    scores = []
-    for lang in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # array_max on structs: max by n, then by lang DESC — we want lang ASC
-    # tie-break, so negate via sort: use aggregate to fold argmax manually
-    arr = F.array(*scores)
-    best = F.aggregate(
-        arr,
-        F.struct(F.lit(-1).cast("int").alias("n"), F.lit("").alias("lang")),
-        lambda acc, s: F.when(s["n"] > acc["n"], s).otherwise(acc),
-    )
-    out = F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    vote = _stopword_vote_expr(text)
+    out = vote
     # script gates wrap the vote, highest priority outermost
-    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    nonspace = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
     for lang, script, num, den in reversed(SCRIPT_GATES):
         lo, hi = SCRIPT_RANGES[script]
-        cnt = F.length(F.regexp_replace(text, f"[^{lo}-{hi}]", ""))
+        cnt = F.regexp_count(text, F.lit(f"[{lo}-{hi}]"))
         out = F.when(
             (cnt > 0) & (cnt * num >= nonspace * den), F.lit(lang)
         ).otherwise(out)
-    return out
+    return F.when(text.rlike("[^\\x00-\\x7F]"), out).otherwise(vote)
 
 
 def _tokens(text: Column) -> Column:
