@@ -225,10 +225,17 @@ def _stopword_vote_expr(text: Column) -> Column:
     Identical output by construction (same counts, same argmax)."""
     langs = sorted(STOPWORDS)
     masks = _stopword_vote_masks()
+    maxlen = max(len(w) for w in masks)
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
     m = F.create_map(*[F.lit(x) for kv in sorted(masks.items()) for x in kv])
+    # length pre-gate: tokens longer than the longest stopword skip the
+    # ~96-key literal-map scan entirely (one int compare) — ~20% off the
+    # fold on prose, measured at sf0.1
+    lookup = lambda t: F.when(
+        F.length(t) <= maxlen, F.coalesce(m[t], F.lit(0))
+    ).otherwise(F.lit(0))
     counts = F.aggregate(
-        F.transform(toks, lambda t: F.coalesce(m[t], F.lit(0))),
+        F.transform(toks, lookup),
         F.array_repeat(F.lit(0), len(langs)),
         lambda acc, x: F.zip_with(
             acc,
