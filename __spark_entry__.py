@@ -1797,16 +1797,24 @@ def oracle_sql() -> dict[str, str]:
           freq AS (
             SELECT para, count(DISTINCT doc_id) AS n_docs
             FROM pd GROUP BY para
+          ),
+          agg AS (
+            SELECT pd.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_paras,
+                   CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS dup_ratio_ppm
+            FROM pd JOIN freq f USING (para)
+            GROUP BY pd.doc_id
           )
-          SELECT pd.doc_id,
-                 CAST(count(*) AS BIGINT) AS n_paras,
-                 CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_dup_paras,
-                 CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
-                      * 1000000 // count(*) AS BIGINT) AS dup_ratio_ppm
-          FROM pd JOIN freq f USING (para)
-          GROUP BY pd.doc_id
-          ORDER BY pd.doc_id
+          -- every-doc contract: zero-paragraph documents report 0/0/0
+          SELECT d.doc_id,
+                 coalesce(a.n_paras, 0) AS n_paras,
+                 coalesce(a.n_dup_paras, 0) AS n_dup_paras,
+                 coalesce(a.dup_ratio_ppm, 0) AS dup_ratio_ppm
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id
         """,
         "paragraph_dedup_clean": """
           WITH n AS (SELECT count(*) AS n FROM documents),

@@ -221,17 +221,23 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(payload: bytes, fake_decode: bool = False,
-                 use_pillow: bool = False) -> np.ndarray:
-    """Magic-byte-routed image decode: PNG and baseline JPEG decode for
-    real (pure stdlib/numpy — see functions/jpeg.py for the JPEG
-    envelope; progressive JPEG raises ``NotImplementedError``).  Other
-    formats (webp, gif, ...) raise unless ``fake_decode=True``
-    substitutes the deterministic pseudo decode for plumbing tests.
+                 use_pillow: bool = False, strict: bool = False) -> np.ndarray:
+    """Magic-byte-routed image decode: PNG and JPEG (baseline AND
+    progressive) decode for real — pure stdlib/numpy, see
+    functions/jpeg.py.  Other formats (webp, gif, ...) raise unless
+    ``fake_decode=True`` substitutes the deterministic pseudo decode
+    for plumbing tests.
 
     ``use_pillow=True`` prefers Pillow when the wheel is importable
-    (covers progressive JPEG/webp/gif and is faster); silently falls
-    back to the built-in decoders when it is not — the seam for
-    clusters where the native wheel exists."""
+    (covers webp/gif and is faster); by default it falls back to the
+    built-in decoders when it is not.  DETERMINISM CAVEAT: the Pillow
+    path is NOT hash-stable across environments — Pillow emits
+    3-channel RGB where the built-ins keep grayscale 2-D, and its
+    libjpeg IDCT differs from the built-in by ±1 pixel steps — so
+    oracled/fingerprinted features must use the built-in path (the
+    default everywhere in this repo).  Pass ``strict=True`` to make a
+    missing Pillow raise instead of silently switching decoder
+    families."""
     if use_pillow:
         try:
             import io
@@ -240,7 +246,14 @@ def decode_image(payload: bytes, fake_decode: bool = False,
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
         except ImportError:
-            pass
+            if strict:
+                raise ImportError(
+                    "decode_image(use_pillow=True, strict=True): Pillow "
+                    "is not importable; refusing the silent fallback to "
+                    "the built-in decoders because their pixel output "
+                    "differs (grayscale shape, IDCT rounding) and would "
+                    "break hash-stability of downstream features"
+                )
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":

@@ -75,13 +75,18 @@ def paragraph_dup_stats(
     parts-per-million, the cross-engine hash-safe encoding used by
     ``repetition_stats``).  Quality-filter form of paragraph dedup —
     rank/threshold documents by how much of them is corpus boilerplate.
+
+    Every input document gets a row — a document with zero non-empty
+    paragraphs (empty/whitespace-only) reports ``0/0/0`` rather than
+    silently vanishing, matching :func:`paragraph_dedup_clean`'s
+    every-doc contract (callers join these stats back per-doc).
     """
     keyed = _keyed(paragraphs(df, id_col, text_col), id_col)
     freq = (
         keyed.groupBy("pk", "pl")
         .agg(F.countDistinct(id_col).alias("n_docs"))
     )
-    return (
+    agg = (
         keyed.select(id_col, "pk", "pl")
         .join(freq, ["pk", "pl"])
         .groupBy(id_col)
@@ -91,13 +96,18 @@ def paragraph_dup_stats(
                 F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
             ).alias("n_dup_paras"),
         )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
         .select(
             id_col,
-            "n_paras",
-            "n_dup_paras",
-            F.expr("n_dup_paras * 1000000 DIV n_paras").alias(
-                "dup_ratio_ppm"
-            ),
+            F.coalesce(F.col("n_paras"), zero).alias("n_paras"),
+            F.coalesce(F.col("n_dup_paras"), zero).alias("n_dup_paras"),
+            F.coalesce(
+                F.expr("n_dup_paras * 1000000 DIV n_paras"), zero
+            ).alias("dup_ratio_ppm"),
         )
     )
 

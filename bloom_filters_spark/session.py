@@ -24,8 +24,16 @@ def get_spark(
     if shuffle_partitions is None:
         # at cluster scale this is ~2-3x total executor cores; locally = cores
         shuffle_partitions = max(cores, 8)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    # The compression-off A/B win below is a SINGLE-HOST result (shuffle
+    # files never cross a network and the payloads are ~incompressible
+    # 8-byte hashes).  On a real fleet (non-local master) shuffles cross
+    # the wire, so compression stays ON by default there and the env var
+    # only opts out explicitly.
+    local_master = master.startswith("local")
+    compress_default = "false" if local_master else "true"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,10 +53,10 @@ def get_spark(
         # BENCH/SCALING.md): the hot-path shuffle rows are 8-byte hashes +
         # ids (~incompressible), so lz4 is two pure-overhead memory passes
         # — compression off + 1m write buffers won both paired head-to-heads
-        # (-7.5% wall at 32 cores, -24% at 8).  On a multi-executor fleet
-        # whose shuffles cross a real network, re-enable compression for
-        # compressible payloads via SPARK_GRAFT_SHUFFLE_COMPRESS=true;
-        # hash-dominated dedup shuffles gain nothing from it there either.
+        # (-7.5% wall at 32 cores, -24% at 8).  The off-default applies
+        # ONLY under a local[] master (see compress_default above): a
+        # non-local master keeps Spark's compression-on default unless
+        # SPARK_GRAFT_SHUFFLE_COMPRESS=false explicitly opts out.
         # Buffer-size isolation (SCALING.md): 1m-vs-32k orderings flip
         # across measurement windows (second-order vs host noise); 1m won
         # 2/3 paired windows and stays.  Fleet caveat: on the bypass-merge
@@ -60,11 +68,11 @@ def get_spark(
         # overrides for bypass-merge-heavy deployments.
         .config(
             "spark.shuffle.compress",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", compress_default),
         )
         .config(
             "spark.shuffle.spill.compress",
-            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", compress_default),
         )
         .config(
             "spark.shuffle.file.buffer",

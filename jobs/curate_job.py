@@ -149,13 +149,22 @@ def main():
         winners = keep_latest_revision(
             df, url_col="url", ts_col="warc_ts", id_col="url"
         ).select(
-            F.col("kept_id").alias("url"),
-            F.col("kept_ts").alias("warc_ts"),
+            F.col("kept_id").alias("_w_url"),
+            F.col("kept_ts").alias("_w_ts"),
         )
         # semi-join on (url, ts): url alone would also keep OLDER rows
-        # that share the winner's exact raw url string
+        # that share the winner's exact raw url string.  NULL-SAFE
+        # equality on the ts key: with plain `=`, a canonical-URL group
+        # whose winning row has NULL warc_ts would be dropped WHOLE
+        # (NULL = NULL is NULL).  Rows that tie the winner exactly on
+        # (url, ts) all survive — "latest revision" is genuinely
+        # ambiguous between byte-identical (url, ts) recrawls, and
+        # keeping both leaves the choice to the downstream exact dedup.
+        cond = F.col("url").eqNullSafe(F.col("_w_url")) & F.col(
+            "warc_ts"
+        ).eqNullSafe(F.col("_w_ts"))
         df = _advance(
-            df.join(winners, ["url", "warc_ts"], "left_semi"),
+            df.join(winners, cond, "left_semi"),
             "after_latest_revision",
         )
 

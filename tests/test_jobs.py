@@ -97,3 +97,39 @@ def test_near_dup_job_with_curation(tmp_path):
     assert 0 < cur["after_sample"] < 500
     assert m["rows"] == cur["after_sample"]
     assert m["clusters"] <= m["rows"]
+
+
+def test_latest_revision_null_ts_survives(spark, tmp_path):
+    """A canonical-URL group whose winning row has NULL warc_ts must
+    SURVIVE --latest-revision (null-safe ts equality in the semi-join;
+    a plain `=` dropped the whole group), and exact (url, ts) ties both
+    survive — downstream exact dedup owns that choice."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    ts = lambda d: datetime.datetime(2026, 1, d)
+    rows = [
+        ("https://a.com/x", ts(1)), ("https://a.com/x", ts(3)),
+        ("https://a.com/x", ts(2)),
+        ("https://b.com/y", None), ("https://b.com/y", None),
+        ("https://c.com/z", None), ("https://c.com/z", ts(7)),
+    ]
+    path = str(tmp_path / "pages_null_ts.parquet")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp"
+    ).select(
+        "url", "warc_ts",
+        F.lit("body text here").alias("text"),
+        F.col("url").cast("binary").alias("html"),
+        F.lit("en").alias("lang"),
+    ).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "curated_null_ts")
+    m = _run_job(
+        "curate_job.py", "--input", path, "--output", out,
+        "--pages", "--latest-revision",
+    )
+    st = m["stages"]
+    # a: latest ts wins (1 row); b: all-NULL group survives (both
+    # byte-identical (url, ts) ties kept); c: real ts beats NULL (1)
+    assert st["after_latest_revision"] == 4

@@ -87,3 +87,19 @@ def test_paragraph_clean_is_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_paragraph_dup_stats_every_doc_contract(spark):
+    """A document with zero non-empty paragraphs reports 0/0/0 instead
+    of vanishing — same every-doc contract as paragraph_dedup_clean, so
+    per-doc joins of the stats never silently lose rows."""
+    from bloom_filters_spark.operators.paragraphs import paragraph_dup_stats
+
+    df = _corpus(spark, [(1, "a\nb"), (2, "   \n\n"), (3, "")])
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["dup_ratio_ppm"])
+        for r in paragraph_dup_stats(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, 0) and got[3] == (0, 0, 0)
+    assert got[1] == (2, 0, 0)
