@@ -1468,49 +1468,49 @@ def oracle_sql() -> dict[str, str]:
             (2, 'image/jpeg', 32, 32, 1923, 107.9756, 153.9746, 125.3467, 9186813404584348684),
             (3, 'image/png', 32, 32, 2969, 108.5107, 154.0859, 125.5254, 9186813404584348684),
             (4, 'image/png', 32, 32, 2942, 127.5, 199.3438, 127.7852, 2034567362081519864),
-            (5, 'image/jpeg', 32, 32, 2041, 126.8945, 198.4443, 126.8662, 2034567362148628728),
+            (5, 'image/jpeg', 32, 32, 3952, 126.8945, 198.4443, 126.8662, 2034567362148628728),
             (6, 'image/png', 32, 32, 2965, 124.0, 164.9688, 122.9883, 9114861767356056604),
             (7, 'image/png', 32, 32, 2968, 124.0273, 164.707, 123.0557, 9114861767356056604),
             (8, 'image/jpeg', 32, 32, 2007, 133.1045, 128.0303, 122.2051, 2242297963560733836),
             (9, 'image/png', 32, 32, 2993, 133.4873, 128.708, 122.6055, 2242297963560733836),
             (10, 'image/png', 32, 32, 2836, 127.0, 194.25, 127.3516, 4052250638765553912),
-            (11, 'image/jpeg', 32, 32, 2026, 126.7246, 193.251, 127.0166, 4052250638765553912),
+            (11, 'image/jpeg', 32, 32, 3915, 126.7246, 193.251, 127.0166, 4052250638765553912),
             (12, 'image/png', 32, 32, 2798, 124.0, 203.125, 129.5195, -505255344319432464),
             (13, 'image/png', 32, 32, 2807, 123.8203, 202.918, 129.4756, -505255344319432464),
             (14, 'image/jpeg', 32, 32, 1986, 126.5586, 168.6406, 123.4014, 4484525834316314876),
             (15, 'image/png', 32, 32, 2814, 126.6377, 168.6895, 123.3867, 4484525834316314876),
             (16, 'image/png', 32, 32, 2579, 124.0, 185.6875, 124.0938, -72483937788610544),
-            (17, 'image/jpeg', 32, 32, 1942, 123.4346, 184.8701, 123.6631, -72483937788610544),
+            (17, 'image/jpeg', 32, 32, 3786, 123.4346, 184.8701, 123.6631, -72483937788610544),
             (18, 'image/png', 32, 32, 2990, 132.5, 131.3438, 123.0313, 2170205737053887516),
             (19, 'image/png', 32, 32, 2992, 132.2041, 131.624, 123.0332, 2170205737053854748),
             (20, 'image/jpeg', 32, 32, 1888, 77.0049, 188.3975, 124.3252, -126524959526210544),
             (21, 'image/png', 32, 32, 2951, 77.708, 188.8838, 125.0791, -126524684648303600),
             (22, 'image/png', 32, 32, 2785, 93.0, 161.3438, 126.6797, 4485090715924962332),
-            (23, 'image/jpeg', 32, 32, 1955, 92.9395, 160.3828, 126.0586, 4485090715924962332),
+            (23, 'image/jpeg', 32, 32, 3855, 92.9395, 160.3828, 126.0586, 4485090715924962332),
             (24, 'image/png', 32, 32, 2958, 93.0, 141.4375, 125.8281, -4123389851770632508),
             (25, 'image/png', 32, 32, 2961, 93.2451, 141.2695, 125.3438, -4123389851770632508),
             (26, 'image/jpeg', 32, 32, 2019, 126.5781, 134.9258, 129.0049, 4485090991373426334),
             (27, 'image/png', 32, 32, 2851, 127.1289, 135.8174, 129.4326, 4485090991373426334),
             (28, 'image/png', 32, 32, 2928, 77.5, 147.0625, 130.5898, 4557394600064322574),
-            (29, 'image/jpeg', 32, 32, 1965, 77.3789, 146.1367, 130.3008, 4557394600064322574),
+            (29, 'image/jpeg', 32, 32, 3818, 77.3789, 146.1328, 130.3018, 4557394600064322574),
             (30, 'image/png', 32, 32, 2803, 136.25, 201.9688, 130.5781, 4340477151602864368),
             (31, 'image/png', 32, 32, 2816, 136.3467, 201.5771, 130.7705, 4340477151602864368),
             (32, 'image/jpeg', 32, 32, 1946, 126.9199, 174.5039, 126.5449, 8970181431921539320),
             (33, 'image/png', 32, 32, 2986, 127.667, 174.7031, 127.2363, 8970181431921539320),
             (34, 'image/png', 32, 32, 2864, 46.5, 164.6563, 126.9648, 4485055531051785244),
-            (35, 'image/jpeg', 32, 32, 1963, 46.5742, 164.0625, 126.541, 4485055531051785244),
+            (35, 'image/jpeg', 32, 32, 3805, 46.5742, 164.0625, 126.541, 4485055531051785244),
             (36, 'image/png', 32, 32, 2992, 134.75, 130.625, 128.207, 5750690482632951426),
             (37, 'image/png', 32, 32, 2995, 134.6416, 130.916, 127.8711, 5750690482632951426),
             (38, 'image/jpeg', 32, 32, 1904, 127.0332, 181.8848, 124.126, 8970181414674561276),
             (39, 'image/png', 32, 32, 2947, 127.2832, 181.9229, 124.6152, 8970181414674561276),
             (40, 'image/png', 32, 32, 2812, 127.0, 182.0313, 123.6328, 4340410646240459900),
-            (41, 'image/jpeg', 32, 32, 2023, 127.0918, 181.5664, 122.5068, 4340410646173351036),
+            (41, 'image/jpeg', 32, 32, 3919, 127.0918, 181.5664, 122.5068, 4340410646173351036),
             (42, 'image/png', 32, 32, 2899, 46.5, 201.5313, 124.3789, -218287722916709128),
             (43, 'image/png', 32, 32, 2907, 46.9033, 201.1543, 124.002, -218287722916709128),
             (44, 'image/jpeg', 32, 32, 1932, 61.5293, 168.2148, 121.7686, 4485055531586162200),
             (45, 'image/png', 32, 32, 2755, 62.2861, 168.1299, 122.2549, 4485055531586162200),
             (46, 'image/png', 32, 32, 2959, 77.5, 160.1563, 127.5391, 4485090715390196766),
-            (47, 'image/jpeg', 32, 32, 1961, 77.2832, 159.291, 127.2002, 4485090715423751198)
+            (47, 'image/jpeg', 32, 32, 3824, 77.2832, 159.291, 127.2002, 4485090715423751198)
           ) AS t(media_id, mime, width, height, n_bytes, mean_r, mean_g,
                  mean_b, phash)
         """,

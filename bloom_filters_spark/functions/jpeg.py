@@ -3,12 +3,15 @@ ITU-T T.81 spec.
 
 Scope (the dominant web-corpus envelope):
 
-* **decode_jpeg** — baseline sequential DCT (SOF0), 8-bit, Huffman
-  entropy coding, grayscale or YCbCr with any of the common sampling
-  factors (4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).
-  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-  ``NotImplementedError`` — they are rare in web corpora and a decoder
-  that silently mis-renders them would be worse than an honest error.
+* **decode_jpeg** — baseline sequential DCT (SOF0/1) AND progressive
+  DCT (SOF2, T.81 Annex G: spectral selection, successive
+  approximation, EOB runs, per-scan table redefinition), 8-bit,
+  Huffman entropy coding, grayscale or YCbCr with any of the common
+  sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).
+  Together these cover ~99% of web-corpus JPEGs; arithmetic coding,
+  hierarchical, lossless, and 12-bit precision raise
+  ``NotImplementedError`` — genuinely rare, and a decoder that
+  silently mis-renders them would be worse than an honest error.
 * **encode_jpeg** — baseline encoder (grayscale or 4:4:4 YCbCr,
   Annex K example quantization + Huffman tables, quality scaling per
   the common IJG formula).  Used for fixtures and as a legitimate sink
@@ -213,13 +216,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) or (h, w, 3) uint8 RGB array."""
+    """JPEG bytes → (h, w) or (h, w, 3) uint8 RGB array.
+
+    Baseline sequential (SOF0/1) decodes scan-at-once; progressive
+    (SOF2) accumulates DCT coefficients across every scan — spectral
+    selection bands, successive-approximation first/refinement passes,
+    EOB runs, per-scan table redefinition, restart markers — then
+    dequantizes + IDCTs once at the end (T.81 Annex G)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    prog = None  # progressive coefficient state, created at first SOS
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -230,6 +240,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         seg_len = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT
@@ -244,7 +256,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[p:p + 128], ">u2").astype(np.int32)
                     p += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision}")
@@ -252,9 +264,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF type 0x{marker:02x}")
@@ -277,25 +288,271 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append({**comp, "td": tds >> 4, "ta": tds & 0xF})
+                ci, comp = next(
+                    (j, c) for j, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
+                scan.append({**comp, "ci": ci, "td": tds >> 4,
+                             "ta": tds & 0xF})
             data_pos = pos + seg_len
-            return _decode_scan(payload, data_pos, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(payload, data_pos, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _init_progressive(frame)
+            reader = _decode_progressive_scan(
+                payload, data_pos, frame, prog, scan, ss, se,
+                a >> 4, a & 0xF, huff_dc, huff_ac, restart_interval,
+            )
+            pos = _resync_to_marker(reader)
+            continue  # pos already points at the next 0xFF marker
         pos += seg_len
+    if prog is not None:
+        return _reconstruct_progressive(frame, prog, qt)
     raise ValueError("JPEG without SOS scan")
+
+
+def _resync_to_marker(reader: "_BitReader") -> int:
+    """After a progressive scan's entropy data: return the byte offset
+    of the next real marker's 0xFF (skipping stuffed bytes and stray
+    RSTn) so the marker loop can resume.  If the reader already
+    swallowed the terminating marker during its final fill, rewind to
+    its own two bytes."""
+    if reader.marker is not None and not (0xD0 <= reader.marker <= 0xD7):
+        return reader.pos - 2
+    data, p = reader.data, reader.pos
+    while True:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
+
+
+def _init_progressive(frame) -> dict:
+    """Per-component coefficient planes (zigzag order, MCU-padded) plus
+    frame geometry shared by every scan."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coefs, bw, bh = [], [], []
+    for c in comps:
+        # true (unpadded) block dims for non-interleaved scans
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        bw.append(-(-cw // 8))
+        bh.append(-(-ch // 8))
+        coefs.append(
+            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        )
+    return {"coefs": coefs, "bw": bw, "bh": bh, "hmax": hmax,
+            "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _dc_first(reader, cf, table, al, pred):
+    t = reader.decode_huff(table)
+    diff = _extend(reader.receive(t), t)
+    pred += diff
+    cf[0] = pred << al
+    return pred
+
+
+def _ac_first(reader, cf, table, ss, se, al, eobrun):
+    """Spectral-selection first pass over one block's band (T.81
+    G.1.2.2): returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        cf[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, cf, table, ss, se, al, eobrun):
+    """Successive-approximation refinement of one block's band (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient traversed spends one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        v = cf[k]
+        if reader.read_bit() and (v & p1) == 0:
+            cf[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # NB: counts the CURRENT block too (its correction
+                    # tail runs below, then the decrement) — unlike
+                    # _ac_first, whose early return ends the block
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if cf[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cf[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, frame, prog, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval):
+    """Decode one progressive scan into prog['coefs']; returns the bit
+    reader (its position feeds _resync_to_marker)."""
+    reader = _BitReader(data, pos)
+    coefs = prog["coefs"]
+    eobrun = 0
+    preds = [0] * len(scan)
+    unit = 0  # restart counter: MCUs (interleaved) or blocks (single)
+
+    def restart_if_due():
+        nonlocal eobrun, preds
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_to_marker()
+            preds = [0] * len(scan)
+            eobrun = 0
+
+    if len(scan) == 1:
+        c = scan[0]
+        ci = c["ci"]
+        for by in range(prog["bh"][ci]):
+            for bx in range(prog["bw"][ci]):
+                restart_if_due()
+                cf = coefs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        preds[0] = _dc_first(
+                            reader, cf, huff_dc[c["td"]], al, preds[0]
+                        )
+                    elif reader.read_bit():
+                        cf[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(
+                        reader, cf, huff_ac[c["ta"]], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        reader, cf, huff_ac[c["ta"]], ss, se, al, eobrun
+                    )
+                unit += 1
+        return reader
+
+    if ss != 0:
+        raise ValueError("progressive AC scan must be single-component")
+    for my in range(prog["mcus_y"]):
+        for mx in range(prog["mcus_x"]):
+            restart_if_due()
+            for si, c in enumerate(scan):
+                ci = c["ci"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        cf = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            preds[si] = _dc_first(
+                                reader, cf, huff_dc[c["td"]], al, preds[si]
+                            )
+                        elif reader.read_bit():
+                            cf[0] |= 1 << al
+            unit += 1
+    return reader
+
+
+def _idct_plane(zz_blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) zigzag coefficients × quant table → pixel plane,
+    one vectorized einsum IDCT over every block at once."""
+    deq = zz_blocks.astype(np.float64) * q[None, None, :].astype(np.float64)
+    nat = np.zeros_like(deq)
+    nat[..., ZIGZAG] = deq
+    b = nat.reshape(*nat.shape[:2], 8, 8)
+    px = np.einsum("ij,yxjk,kl->yxil", _C.T, b, _C) + 128.0
+    by, bx = px.shape[:2]
+    return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _finish_planes(full: list, h: int, w: int) -> np.ndarray:
+    """Cropped full-resolution planes → uint8 grayscale or RGB."""
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _reconstruct_progressive(frame, prog, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    full = []
+    for ci, c in enumerate(frame["comps"]):
+        plane = _idct_plane(prog["coefs"][ci], qt[c["tq"]])
+        ry = prog["vmax"] // c["v"]
+        rx = prog["hmax"] // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    return _finish_planes(full, h, w)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
-    h, w = frame["h"], frame["w"]
+    """Sequential (SOF0/1) scan: entropy-decode every block's zigzag
+    coefficients, then hand off to the SAME vectorized IDCT +
+    reconstruct path the progressive decoder uses — so a baseline and
+    a progressive stream carrying identical coefficients decode to
+    bit-identical pixels (no per-path float summation-order drift)."""
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # per-component pixel planes at component resolution
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
         for c in scan
     ]
     reader = _BitReader(data, pos)
@@ -308,10 +565,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                 reader.align_to_marker()
                 pred = [0] * len(scan)
             for ci, c in enumerate(scan):
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
                         t = reader.decode_huff(huff_dc[c["td"]])
                         diff = _extend(reader.receive(t), t)
                         pred[ci] += diff
@@ -330,28 +586,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                                 raise ValueError("JPEG AC index overflow")
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = (zz * q).astype(np.float64)
-                        px = _C.T @ block.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution and crop
-    full = []
-    for ci, c in enumerate(scan):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    geom = {"coefs": coefs, "hmax": hmax, "vmax": vmax}
+    return _reconstruct_progressive(
+        {"h": frame["h"], "w": frame["w"], "comps": scan}, geom, qt
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -412,9 +651,11 @@ def _scale_qt(qt: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((qt * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw, block, q, dc_tab, ac_tab, pred):
-    coeffs = _C @ (block - 128.0) @ _C.T
-    zz = np.round(coeffs.reshape(-1)[ZIGZAG] / q).astype(np.int32)
+def _encode_block(bw, zz, dc_tab, ac_tab, pred):
+    """Entropy-code one block's pre-quantized zigzag coefficients.
+    The DCT+quant lives in `_plane_coeffs` (shared with the
+    progressive encoder) so both stream kinds carry bit-identical
+    coefficients for the same pixels."""
     diff = int(zz[0]) - pred
     size, mag = _magnitude(diff)
     code, ln = dc_tab[size]
@@ -444,16 +685,12 @@ def _encode_block(bw, block, q, dc_tab, ac_tab, pred):
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w) or (h, w, 3) uint8 → baseline JFIF bytes.
-
-    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box-
-    averaged chroma — the dominant web-corpus shape).  A non-zero
-    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
-    (the resumable-scan feature real encoders use for error resilience).
-    """
+def _prepare_planes(img: np.ndarray, subsampling: str):
+    """Shared encoder front half: color transform, chroma subsampling,
+    MCU edge-padding.  Returns (planes, sampling, nc, h, w, mcus_x,
+    mcus_y) — the baseline and progressive encoders must produce
+    IDENTICAL quantized coefficients from identical pixels, so this
+    lives in exactly one place."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -498,11 +735,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             mode="edge",
         )
         planes.append(plane)
+    return planes, sampling, nc, h, w, mcus_x, mcus_y
 
-    qts = [_scale_qt(QT_LUM, quality), _scale_qt(QT_CHROM, quality)]
-    dc_tabs = [_build_encode_table(*HT_DC_LUM), _build_encode_table(*HT_DC_CHROM)]
-    ac_tabs = [_build_encode_table(*HT_AC_LUM), _build_encode_table(*HT_AC_CHROM)]
 
+def _write_headers(nc, h, w, sampling, qts, sof_marker: int,
+                   restart_interval: int) -> bytearray:
+    """SOI through DHT/DRI (everything before the first SOS), shared by
+    the baseline (SOF0) and progressive (SOF2) encoders."""
     out = bytearray(b"\xff\xd8")  # SOI
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
@@ -514,7 +753,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         tq = 0 if i == 0 else 1
         sh, sv = sampling[i]
         sof += bytes([i + 1, (sh << 4) | sv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
     for tc, tables in ((0, (HT_DC_LUM, HT_DC_CHROM)), (1, (HT_AC_LUM, HT_AC_CHROM))):
         for th in range(2 if nc == 3 else 1):
             bits, huffval = tables[th]
@@ -522,6 +761,27 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → baseline JFIF bytes.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box-
+    averaged chroma — the dominant web-corpus shape).  A non-zero
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
+    (the resumable-scan feature real encoders use for error resilience).
+    """
+    planes, sampling, nc, h, w, mcus_x, mcus_y = _prepare_planes(
+        img, subsampling
+    )
+    qts = [_scale_qt(QT_LUM, quality), _scale_qt(QT_CHROM, quality)]
+    dc_tabs = [_build_encode_table(*HT_DC_LUM), _build_encode_table(*HT_DC_CHROM)]
+    ac_tabs = [_build_encode_table(*HT_AC_LUM), _build_encode_table(*HT_AC_CHROM)]
+
+    out = _write_headers(nc, h, w, sampling, qts, 0xC0, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         t = 0 if i == 0 else 1
@@ -529,6 +789,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
+    coefs = [
+        _plane_coeffs(planes[ci], qts[0 if ci == 0 else 1])
+        for ci in range(nc)
+    ]
     bw = _BitWriter()
     preds = [0] * nc
     mcu_count = 0
@@ -545,14 +809,226 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 sh, sv = sampling[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
                         preds[ci] = _encode_block(
-                            bw, planes[ci][y0:y0 + 8, x0:x0 + 8], qts[t],
+                            bw, coefs[ci][my * sv + by, mx * sh + bx],
                             dc_tabs[t], ac_tabs[t], preds[ci],
                         )
             mcu_count += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+# Annex K's example AC tables have no codes for the EOBn (n>1) run
+# symbols progressive scans emit (0x10, 0x20, ... row 0 sizes 0), so the
+# progressive encoder ships its own flat canonical AC table: all 256
+# symbols, 255 at 9 bits + one at 10 (Kraft 255/512 + 1/1024 < 1, and
+# the all-ones code is never assigned).  Bigger than an optimized
+# table, but valid for any decoder and trivially correct.
+HT_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """MCU-padded pixel plane → (by, bx, 64) quantized zigzag
+    coefficients — the vectorized twin of the baseline `_encode_block`
+    DCT+quant (same formula, same np.round), so a progressive stream
+    built from these decodes to EXACTLY the baseline encoder's pixels."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    b = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,yxjk,kl->yxil", _C, b - 128.0, _C.T)
+    zz = coeffs.reshape(by, bx, 64)[..., ZIGZAG]
+    return np.round(zz / q[None, None, :]).astype(np.int32)
+
+
+def _flush_eobrun(bw: "_BitWriter", ac_tab, state: dict):
+    """Emit the pending EOBn symbol (+ its extension bits) and every
+    correction bit buffered behind it (T.81 G.1.2.2-3 emit order)."""
+    if state["eobrun"] > 0:
+        n = state["eobrun"]
+        r = n.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(n - (1 << r), r)
+        state["eobrun"] = 0
+        for b in state["be"]:
+            bw.write(b, 1)
+        state["be"] = []
+
+
+def _enc_ac_first(bw, zz, ac_tab, ss, se, al, state):
+    """AC spectral-selection first pass for one block's band."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        temp = (t if t >= 0 else -t) >> al
+        if temp == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_tab, state)
+        while r > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        size, mag = _magnitude(temp if t >= 0 else -temp)
+        code, ln = ac_tab[(r << 4) | size]
+        bw.write(code, ln)
+        bw.write(mag, size)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_tab, state)
+
+
+def _enc_ac_refine(bw, zz, ac_tab, ss, se, al, state):
+    """AC successive-approximation refinement for one block's band:
+    newly-nonzero coefficients emit (run, 1) + sign; already-nonzero
+    ones buffer one correction bit each, flushed after the next symbol
+    (or carried into the EOB-run buffer)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # band-relative index AFTER the last newly-nonzero coeff
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i + 1
+    r = 0
+    br: list = []
+    for i, temp in enumerate(absv):
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            _flush_eobrun(bw, ac_tab, state)
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if temp > 1:
+            br.append(temp & 1)
+            continue
+        _flush_eobrun(bw, ac_tab, state)
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["be"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_tab, state)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """(h, w) or (h, w, 3) uint8 → progressive (SOF2) JFIF bytes.
+
+    Standard 6/10-scan script: interleaved DC first pass (Al=1), per-
+    component AC bands 1-5 then 6-63 (Al=2), per-component AC
+    refinement to Al=1, interleaved DC refinement to Al=0, and a final
+    per-component AC refinement to Al=0 — exercising spectral
+    selection, successive approximation, and EOB runs.  The quantized
+    coefficients are bit-identical to `encode_jpeg`'s at the same
+    (quality, subsampling), so progressive and baseline streams of the
+    same image decode to the SAME pixel array.
+    """
+    planes, sampling, nc, h, w, mcus_x, mcus_y = _prepare_planes(
+        img, subsampling
+    )
+    qts = [_scale_qt(QT_LUM, quality), _scale_qt(QT_CHROM, quality)]
+    dc_tabs = [_build_encode_table(*HT_DC_LUM),
+               _build_encode_table(*HT_DC_CHROM)]
+    ac_prog_tab = _build_encode_table(*HT_AC_PROG)
+    hmax = max(s[0] for s in sampling[:nc])
+    vmax = max(s[1] for s in sampling[:nc])
+    coefs = [
+        _plane_coeffs(planes[ci], qts[0 if ci == 0 else 1])
+        for ci in range(nc)
+    ]
+    # true (unpadded) per-component block dims for non-interleaved scans
+    true_bw, true_bh = [], []
+    for ci in range(nc):
+        cw = -(-w * sampling[ci][0] // hmax)
+        ch = -(-h * sampling[ci][1] // vmax)
+        true_bw.append(-(-cw // 8))
+        true_bh.append(-(-ch // 8))
+
+    out = _write_headers(nc, h, w, sampling, qts, 0xC2, 0)
+    # override AC table 0 with the progressive flat table (every AC
+    # scan below references Ta=0, whichever component it carries)
+    prog_dht = bytes([0x10]) + bytes(HT_AC_PROG[0]) + bytes(HT_AC_PROG[1])
+    out += b"\xff\xc4" + struct.pack(">H", len(prog_dht) + 2) + prog_dht
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            tds = (t << 4) if ss == 0 else 0  # Td for DC scans; Ta=0 AC
+            seg += bytes([ci + 1, tds])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    def dc_scan(ah, al):
+        nonlocal out
+        out += sos_header(list(range(nc)), 0, 0, ah, al)
+        bw = _BitWriter()
+        preds = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                            t = v >> al  # arithmetic shift (T.81 G.1.2.1)
+                            if ah == 0:
+                                diff = t - preds[ci]
+                                preds[ci] = t
+                                size, mag = _magnitude(diff)
+                                code, ln = dc_tabs[0 if ci == 0 else 1][size]
+                                bw.write(code, ln)
+                                if size:
+                                    bw.write(mag, size)
+                            else:
+                                bw.write(t & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([ci], ss, se, ah, al)
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        tab = ac_prog_tab
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for by in range(true_bh[ci]):
+            for bx in range(true_bw[ci]):
+                enc(bw, coefs[ci][by, bx], tab, ss, se, al, state)
+        _flush_eobrun(bw, tab, state)
+        bw.flush()
+        out += bw.out
+
+    dc_scan(0, 1)                       # DC first, Al=1
+    for ci in range(nc):
+        ac_scan(ci, 1, 5, 0, 2)         # low AC band, first, Al=2
+    for ci in range(nc):
+        ac_scan(ci, 6, 63, 0, 2)        # high AC band, first, Al=2
+    for ci in range(nc):
+        ac_scan(ci, 1, 63, 2, 1)        # AC refinement to Al=1
+    dc_scan(1, 0)                       # DC refinement to Al=0
+    for ci in range(nc):
+        ac_scan(ci, 1, 63, 1, 0)        # AC refinement to Al=0
+    out += b"\xff\xd9"                  # EOI
     return bytes(out)

@@ -262,8 +262,8 @@ def decode_image(payload: bytes, fake_decode: bool = False,
         return decode_jpeg(payload)
     if not fake_decode:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode without external libraries "
-            "(webp/gif/progressive-JPEG need Pillow — pass "
+            "only PNG and JPEG (baseline + progressive) decode without "
+            "external libraries (webp/gif need Pillow — pass "
             "use_pillow=True where the wheel exists); pass "
             "fake_decode=True for the deterministic test double"
         )

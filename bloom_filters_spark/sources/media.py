@@ -16,7 +16,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from bloom_filters_spark.functions.jpeg import encode_jpeg
+from bloom_filters_spark.functions.jpeg import (
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from bloom_filters_spark.functions.multimodal import encode_png
 
 MEDIA_TABLE_SCHEMA = (
@@ -29,7 +32,7 @@ def _source_arrays(n: int, seed: int, size: int):
     """Yield (media_id, pixel array, mime): even ids are originals, odd
     ids near-copies of ``id-1`` (a handful of perturbed pixels —
     phash-close but not byte-identical).  Every third row will encode
-    as baseline JPEG, the rest as PNG."""
+    as JPEG (alternating baseline / progressive), the rest as PNG."""
     for i in range(n):
         rng = np.random.default_rng(seed + (i // 2))
         yy, xx = np.mgrid[0:size, 0:size]
@@ -56,10 +59,17 @@ def generate_media_pdf(n: int = 48, seed: int = 13,
                        size: int = 32) -> pd.DataFrame:
     rows = []
     for i, img, mime in _source_arrays(n, seed, size):
-        payload = (
-            encode_jpeg(img, quality=92)
-            if mime == "image/jpeg" else encode_png(img)
-        )
+        if mime == "image/jpeg":
+            # every other JPEG row is a progressive (SOF2) stream —
+            # same quality, so it carries the IDENTICAL quantized
+            # coefficients as the baseline stream would and decodes to
+            # the same pixels; only the payload bytes differ.  Keeps
+            # the web-corpus reality (~6-10% progressive) in the
+            # driver-oracled path, not just in unit tests.
+            enc = encode_jpeg_progressive if i % 6 == 5 else encode_jpeg
+            payload = enc(img, quality=92)
+        else:
+            payload = encode_png(img)
         rows.append({
             "media_id": i,
             "kind": "image",

@@ -333,11 +333,108 @@ def test_decode_image_routes_jpeg():
     img = (np.mgrid[0:16, 0:24][0] * 10 % 256).astype(np.uint8)
     out = decode_image(encode_jpeg(img, quality=95))
     assert out.shape == (16, 24)
-    # progressive rejected honestly (minimal SOF2 header)
+    # progressive routes through the same entry point
+    from bloom_filters_spark.functions.jpeg import encode_jpeg_progressive
+
+    assert (decode_image(encode_jpeg_progressive(img, quality=95))
+            == out).all()
+    # truncated SOF2 header with no scan is rejected as malformed
     import pytest as _pytest
 
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00\xff\xd9")
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """A progressive (SOF2) stream at the same (quality, subsampling)
+    carries bit-identical quantized coefficients to the baseline
+    stream, so it must decode to the IDENTICAL pixel array — and the
+    baseline decoder is itself pinned against real libjpeg output
+    above, so this transitively validates the whole Annex-G path
+    (spectral selection, successive approximation, EOB runs) against
+    libjpeg.  Sweeps gray/color, 4:4:4/4:2:0, odd/MCU-aligned dims,
+    and quality extremes."""
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [((16, 24), "444"), ((33, 41, 3), "444"), ((33, 41, 3), "420"),
+             ((8, 8), "444"), ((64, 48, 3), "420"), ((17, 9, 3), "444"),
+             ((1, 1), "444"), ((9, 8, 3), "420")]
+    for shape, sub in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for q in (25, 50, 90, 95):
+            s = sub if len(shape) == 3 else "444"
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=s))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=s)
+            )
+            assert base.shape == prog.shape
+            assert (base == prog).all(), (shape, s, q)
+
+
+def test_progressive_jpeg_pinned_pixels():
+    """Determinism pin for the progressive path: a fixed seeded image's
+    progressive stream and its decode hash must never drift (same
+    contract shape as the baseline pinned fixtures)."""
+    import hashlib
+
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([
+        (xx * 5 + yy * 2) % 256,
+        (128 + 100 * np.sin(xx / 7.0)) % 256,
+        (yy * 9) % 256,
+    ], axis=-1).astype(np.uint8)
+    enc = encode_jpeg_progressive(img, quality=92, subsampling="420")
+    assert b"\xff\xc2" in enc[:256]  # really SOF2
+    dec = decode_jpeg(enc)
+    assert dec.shape == (24, 32, 3)
+    assert decode_jpeg(enc).tobytes() == dec.tobytes()  # determinism
+    digest = hashlib.sha256(enc).hexdigest(), hashlib.sha256(
+        dec.tobytes()
+    ).hexdigest()
+    assert digest == (
+        "b7672e482eaa2b8d724a9278b45f995e576ed19a7fcf0b73e9b829f62cf88382",
+        "0da852e9c622314877e467cc430241ddc04bc31127653741e9bb7b92a58b2552",
+    ), digest
+
+
+def test_media_fixture_contains_progressive_jpeg():
+    """The driver-oracled media table must exercise the SOF2 decode
+    path for real: every (i % 6 == 5) row is a progressive stream, and
+    its decoded features equal the baseline encoding's of the same
+    source pixels."""
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from bloom_filters_spark.sources.media import (
+        generate_media_pdf,
+        source_images,
+    )
+
+    pdf = generate_media_pdf()
+    src = source_images()
+    prog_rows = pdf[pdf.media_id % 6 == 5]
+    assert len(prog_rows) == 8
+    for _, row in prog_rows.iterrows():
+        payload = bytes(row.payload)
+        assert payload[:2] == b"\xff\xd8" and b"\xff\xc2" in payload[:256]
+        dec = decode_jpeg(payload)
+        base = decode_jpeg(encode_jpeg(src[row.media_id], quality=92))
+        assert (dec == base).all()
+        assert np.asarray(dec).shape == (32, 32, 3)
 
 
 def test_media_fixture_features_match_source_arrays(spark):

@@ -316,6 +316,58 @@ def test_ivf_deterministic_and_sublinear_candidates(spark):
         assert vid in exact10[qid], (qid, vid)
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """Cell-boundary queries are what multi-probe exists for: queries
+    planted midway BETWEEN two cluster centers straddle a Voronoi edge,
+    so nprobe=1 reads only one of the two lists holding their true
+    neighbors.  Recall@10 vs the exact top-10 must be non-decreasing in
+    nprobe and strictly better by nprobe=4 than nprobe=1 (the MinHash
+    accuracy-envelope pattern of reference tests/min-hash.test.ts:52-75
+    applied to ANN recall)."""
+    from bloom_filters_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 16)) * 6
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append(
+            (i, (centers[c] + 0.4 * rng.standard_normal(16)).tolist())
+        )
+    items = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # boundary queries: midpoints of adjacent center pairs
+    qrows = []
+    for qid in range(8):
+        mid = (centers[qid] + centers[(qid + 1) % 8]) / 2.0
+        qrows.append((qid, (mid + 0.05 * rng.standard_normal(16)).tolist()))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>"
+    )
+
+    exact = {}
+    for r in cosine_topk(items, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_cosine_topk(items, queries, k=10, n_centroids=8,
+                                 nprobe=nprobe, sample_size=400,
+                                 seed=29).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 > r1, (r1, r4)          # boundary queries actually gained
+    assert r4 >= 0.99, r4             # probing 4/8 lists recovers ~all
+
+
 def test_ivf_training_guard(spark):
     """Sample smaller than n_centroids must fail loudly, not train a
     degenerate quantizer."""

@@ -197,3 +197,90 @@ def test_incremental_near_dup_epoch_replay_idempotent(spark, tmp_path):
     sigs = spark.read.parquet(store + "/signatures")
     assert bands.select("epoch").distinct().count() == 2
     assert sigs.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_incremental_near_dup_crash_replay_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume e2e: process two file-drop epochs, then simulate
+    a crash that happened AFTER epoch 1's store writes but BEFORE the
+    engine committed epoch 1 (delete the checkpoint's commit marker —
+    exactly the on-disk state a mid-batch kill leaves).  On restart the
+    engine genuinely replays epoch 1 against a store that already holds
+    its output, then processes a third drop.  The oracle is a clean
+    control run over the same three drops: the crashed-and-resumed
+    store must contain the IDENTICAL pair set — nothing lost, nothing
+    duplicated."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import run_incremental_near_dup
+
+    cfg = NearDupConfig(threshold=0.8)
+
+    def stage(dirname, drops):
+        src = str(tmp_path / dirname)
+        os.makedirs(src)
+        for i, ids in enumerate(drops):
+            pdf = generate_pages_pdf(ids, seed=17)
+            spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(
+                f"{src}/b{i}"
+            )
+        return src
+
+    def start(src, store, ckpt):
+        static = spark.read.parquet(src + "/*")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select("doc_id", "text")
+        )
+        return run_incremental_near_dup(
+            spark, stream, cfg, store, checkpoint_dir=ckpt
+        )
+
+    # planted near-dup pairs are (2k, 2k+1); split so pairs span epochs
+    drop1 = np.arange(0, 40, 2)     # originals
+    drop2 = np.arange(1, 41, 2)     # their near-copies (cross-epoch pairs)
+    drop3 = np.arange(40, 60)       # originals AND copies (within-batch)
+
+    def collect_pairs(store):
+        df = spark.read.parquet(store + "/pairs")
+        rows = [(r["id1"], r["id2"]) for r in df.collect()]
+        assert len(rows) == len(set(rows)), "duplicated pairs in store"
+        return set(rows)
+
+    # --- control: clean uninterrupted run over all three drops
+    ctl_src = stage("ctl_src", [drop1, drop2, drop3])
+    ctl_store = str(tmp_path / "ctl_store")
+    q = start(ctl_src, ctl_store, str(tmp_path / "ctl_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    expected = collect_pairs(ctl_store)
+    assert len(expected) > 0
+
+    # --- crashed run: two drops, kill, un-commit epoch 1, drop 3, resume
+    src = stage("crash_src", [drop1, drop2])
+    store = str(tmp_path / "crash_store")
+    ckpt = str(tmp_path / "crash_ckpt")
+    q = start(src, store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()  # fully release the checkpoint before restart
+    # the store already holds epoch 1's bands/sigs/pairs; removing the
+    # commit marker makes the restart replay epoch 1 from its offsets
+    commit_1 = os.path.join(ckpt, "commits", "1")
+    assert os.path.exists(commit_1)
+    os.remove(commit_1)
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar of the commit
+        os.remove(crc)
+
+    pdf3 = generate_pages_pdf(drop3, seed=17)
+    spark.createDataFrame(pdf3, PAGES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    q = start(src, store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    assert collect_pairs(store) == expected
