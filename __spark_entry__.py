@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -720,6 +721,111 @@ def q_gopher_quality_flags(spark, sf_dir):
     )
 
 
+#: fixed hyperplanes for the semantic_dedup query's deterministic
+#: coarse clustering — generated once from a pinned seed and embedded
+#: as literals in BOTH the Spark plan and the DuckDB oracle.
+_SEMDEDUP_PLANES = np.random.RandomState(97).standard_normal((4, 64))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-level duplicate pruning.
+    The embeddings fixture has no natural near-dups (max off-diagonal
+    cosine 0.51), so the corpus is derived deterministically: originals
+    plus exact copies (vec_id%7==0 → id+1000) and 2x-scaled copies
+    (vec_id%11==0 → id+2000), both cosine-1.0 with their source.
+    Clustering for the oracle-facing query is 4 fixed hyperplane sign
+    bits (same literals in the SQL); the operator's default k-means
+    path is pytest-validated against a numpy oracle instead."""
+    from bloom_filters_spark.operators.similarity import (
+        hyperplane_bucket_expr,
+        semantic_dedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    c1 = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        as_double.alias("embedding"),
+    )
+    c2 = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 2.0
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(c1).unionByName(c2).withColumn(
+        "bucket",
+        hyperplane_bucket_expr(F.col("embedding"), _SEMDEDUP_PLANES),
+    )
+    return semantic_dedup(corpus, eps=0.05, cluster_col="bucket")
+
+
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    bucket features, add-one-smoothed target/source multinomial
+    log-likelihood ratio per document, deterministic top-50 selection.
+    Target domain = the corpus's English slice (lang='en').  Buckets
+    use the md5 hex-prefix mode so Spark and DuckDB bucket identically;
+    the production default is xxhash64 (operators/dsir.py)."""
+    from bloom_filters_spark.operators.dsir import dsir_importance_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_importance_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        n_buckets=256,
+        bucket_hash="md5",
+    )
+    sel = (
+        w.orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return w.join(sel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "log_ratio",
+        F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+    )
+
+
+def _synth_c4_docs(spark, sf_dir):
+    """Deterministic line-structured corpus for the C4 rules: the
+    single-line documents fixture has no newlines or punctuation, so
+    each doc gets three derived lines — a long terminal-punct line, a
+    doc_id%4-selected violation line (clean / lorem-ipsum /
+    brace+javascript / too-short), and a doc_id%3-selected boilerplate
+    or clean question line.  Mirrored literally in the oracle SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d, t = F.col("doc_id"), F.col("text")
+    l0 = F.concat(t, F.lit("."))
+    l1 = (
+        F.when(d % 4 == 0, F.concat(F.substring(t, 1, 80), F.lit("!")))
+        .when(d % 4 == 1, F.lit("lorem ipsum dolor sit amet"))
+        .when(d % 4 == 2,
+              F.concat(F.substring(t, 1, 30), F.lit(" javascript { }")))
+        .otherwise(F.lit("too short."))
+    )
+    l2 = F.when(
+        d % 3 == 0,
+        F.lit("we use cookies and our privacy policy applies here."),
+    ).otherwise(F.concat(F.substring(t, 5, 60), F.lit("?")))
+    return docs.select(
+        "doc_id", F.concat_ws("\n", l0, l1, l2).alias("text")
+    )
+
+
+def q_c4_quality_flags(spark, sf_dir):
+    """C4 structural cleaning (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / min-words / javascript / boilerplate-phrase
+    gates plus doc-level lorem-ipsum, brace, and min-sentence verdicts
+    — all integers and booleans, single codegen'd pass, no shuffle."""
+    from bloom_filters_spark.functions.text import c4_line_stats
+
+    return c4_line_stats(_synth_c4_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # sketch duals (frequency / cardinality / ranking / membership)
 # ---------------------------------------------------------------------------
@@ -1205,6 +1311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "token_budget_select": q_token_budget_select,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "c4_quality_flags": q_c4_quality_flags,
+        "dsir_scores": q_dsir_scores,
+        "semantic_dedup": q_semantic_dedup,
         "hash_split": q_hash_split,
         "rare_trigram_score": q_rare_trigram_score,
         "latest_revision": q_latest_revision,
@@ -2301,6 +2410,134 @@ def oracle_sql() -> dict[str, str]:
              AND punct_ppm <= 100000 AND n_sw >= 2
              AND dup_ppm <= 600000) AS keep
           FROM f
+        """,
+        # mirrors q_semantic_dedup: same derived corpus (originals +
+        # exact copies + 2x-scaled copies), same 4 hyperplane literal
+        # sign bits, same round-6dp cosine >= 0.95, same keep-lowest-id
+        "semantic_dedup": f"""
+          WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000, embedding::DOUBLE[]
+            FROM embeddings WHERE vec_id % 7 = 0
+            UNION ALL
+            SELECT vec_id + 2000,
+                   list_transform(embedding::DOUBLE[], x -> x * 2.0)
+            FROM embeddings WHERE vec_id % 11 = 0
+          ), clustered AS (
+            SELECT vec_id, e,
+              {" + ".join(
+                  f"(CASE WHEN list_dot_product(e, ["
+                  + ", ".join(repr(float(v)) for v in _SEMDEDUP_PLANES[j])
+                  + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+                  for j in range(4)
+              )} AS cluster_id
+            FROM corpus
+          ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM clustered a JOIN clustered b USING (cluster_id)
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.95
+          )
+          SELECT vec_id, cluster_id,
+                 vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+          FROM clustered
+        """,
+        # mirrors operators/dsir.py at bucket_hash='md5': same grams
+        # (unigrams + adjacent bigrams of lower/trim/whitespace-split),
+        # same md5-hex-prefix buckets, same add-one smoothing, same
+        # 6dp round, same (log_ratio desc, doc_id) top-50
+        "dsir_scores": r"""
+          WITH toks AS (
+            SELECT doc_id,
+                   str_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+          ), grams AS (
+            SELECT doc_id, unnest(t) AS g FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, len(t)),
+                     i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+          ), db AS (
+            SELECT doc_id, substr(md5(g), 1, 2) AS b, COUNT(*) AS c
+            FROM grams GROUP BY 1, 2
+          ), src AS (
+            SELECT b, SUM(c) AS cs FROM db GROUP BY 1
+          ), tgt AS (
+            SELECT substr(md5(g), 1, 2) AS b, COUNT(*) AS ct
+            FROM grams JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY 1
+          ), tot AS (
+            SELECT (SELECT SUM(cs) FROM src) AS s_total,
+                   (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS t_total
+          ), ratio AS (
+            SELECT src.b,
+                   ln((COALESCE(ct, 0) + 1)::DOUBLE / (t_total + 256))
+                     - ln((cs + 1)::DOUBLE / (s_total + 256)) AS lr
+            FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot
+          ), w AS (
+            SELECT doc_id, SUM(c) AS n_grams,
+                   ROUND(SUM(c * lr), 6) AS log_ratio
+            FROM db JOIN ratio USING (b) GROUP BY 1
+          ), sel AS (
+            SELECT doc_id FROM w ORDER BY log_ratio DESC, doc_id LIMIT 50
+          )
+          SELECT doc_id, n_grams, log_ratio,
+                 doc_id IN (SELECT doc_id FROM sel) AS selected
+          FROM w
+        """,
+        # mirrors _synth_c4_docs + functions/text.c4_line_stats: same
+        # derived three-line corpus, same line gates (terminal punct,
+        # >=5 words, javascript, boilerplate phrases), same doc gates
+        "c4_quality_flags": r"""
+          WITH synth AS (
+            SELECT doc_id,
+              text || '.' || chr(10) ||
+              CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN substr(text, 1, 80) || '!'
+                WHEN 1 THEN 'lorem ipsum dolor sit amet'
+                WHEN 2 THEN substr(text, 1, 30) || ' javascript { }'
+                ELSE 'too short.' END || chr(10) ||
+              CASE WHEN doc_id % 3 = 0
+                THEN 'we use cookies and our privacy policy applies here.'
+                ELSE substr(text, 5, 60) || '?' END AS text
+            FROM documents
+          ), split_lines AS (
+            SELECT doc_id, text, str_split(text, chr(10)) AS ls FROM synth
+          ), kept_lines AS (
+            SELECT doc_id, text, len(ls) AS n_lines,
+              array_to_string(list_filter(ls, l ->
+                regexp_matches(trim(l), '[.!?"]$')
+                AND len(str_split_regex(trim(l), '\s+')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript')
+                AND NOT contains(lower(trim(l)), 'cookie')
+                AND NOT contains(lower(trim(l)), 'privacy policy')
+                AND NOT contains(lower(trim(l)), 'terms of use')
+              ), chr(10)) AS clean,
+              len(list_filter(ls, l ->
+                regexp_matches(trim(l), '[.!?"]$')
+                AND len(str_split_regex(trim(l), '\s+')) >= 5
+                AND NOT contains(lower(trim(l)), 'javascript')
+                AND NOT contains(lower(trim(l)), 'cookie')
+                AND NOT contains(lower(trim(l)), 'privacy policy')
+                AND NOT contains(lower(trim(l)), 'terms of use')
+              )) AS n_kept
+            FROM split_lines
+          )
+          SELECT doc_id,
+            CAST(n_lines AS INTEGER) AS n_lines,
+            CAST(n_kept AS INTEGER) AS n_kept,
+            contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+            contains(text, '{') AS has_brace,
+            CAST(len(regexp_extract_all(clean, '[.!?]'))
+                 AS INTEGER) AS n_sentences,
+            (NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')
+             AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep,
+            CAST(length(clean) AS INTEGER) AS clean_chars
+          FROM kept_lines
         """,
         # mirrors sampling.hash_split({train:.8, val:.1, test:.1}):
         # boundary hexes computed by the same cumulative-float loop

@@ -523,3 +523,75 @@ def pii_count_exprs(text: Column) -> dict:
         "n_ips": F.regexp_count(text, F.lit(PII_IPV4_PATTERN)),
         "n_phones": F.regexp_count(text, F.lit(PII_PHONE_PATTERN)),
     }
+
+
+# ---------------------------------------------------------------------------
+# C4-style line + document structural filters (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: line-level boilerplate phrases (the C4 "cookies"/policy rule).  Kept
+#: to substrings both engines match identically with plain `contains`.
+C4_BOILERPLATE_PHRASES = ("cookie", "privacy policy", "terms of use")
+
+
+def c4_line_stats(
+    df,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """C4 cleaning rules as one codegen'd pass (Raffel et al. 2020
+    §2.2, the public "Colossal Clean Crawled Corpus" recipe) — the
+    engine addition the reference's text layer lacks.
+
+    Line level (a line is kept iff ALL hold):
+
+    * ends in a terminal punctuation mark (``. ! ? "`` after trim);
+    * has at least ``min_words`` whitespace words;
+    * does not mention ``javascript``;
+    * carries none of the boilerplate phrases (cookie / privacy
+      policy / terms of use).
+
+    Document level: ``keep`` is false when the raw text contains
+    ``lorem ipsum`` or a ``{`` (code leak), or when the kept lines
+    carry fewer than ``min_sentences`` sentence-terminal marks.
+
+    Every output is an integer or boolean (hash-exact cross-engine).
+    Scale shape: pure per-row JVM higher-order functions over the
+    pruned (id, text) scan — no explode, no shuffle, whole-stage
+    codegen end to end.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_kept(line):
+        t = F.trim(line)
+        low = F.lower(t)
+        bp = F.lit(False)
+        for phrase in C4_BOILERPLATE_PHRASES:
+            bp = bp | low.contains(phrase)
+        return (
+            t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~low.contains("javascript")
+            & ~bp
+        )
+
+    kept = F.filter(lines, line_kept)
+    clean = F.array_join(kept, "\n")
+    low_all = F.lower(F.col(text_col))
+    has_lorem = low_all.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        n_sentences.alias("n_sentences"),
+        (
+            ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
+        ).alias("keep"),
+        F.length(clean).alias("clean_chars"),
+    )

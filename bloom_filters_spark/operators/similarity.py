@@ -492,3 +492,101 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    items: DataFrame,
+    eps: float = 0.05,
+    cluster_col: str | None = None,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose EMBEDDINGS nearly coincide — the semantic tier above
+    MinHash/SimHash lexical dedup.  Cluster the embedding space, then
+    inside each cluster call two items duplicates when their cosine
+    similarity (rounded to 6dp) is >= 1 - ``eps``; every duplicate
+    group keeps exactly one representative (the lowest id — a
+    deterministic stand-in for the paper's keep-farthest-from-centroid,
+    which it offers as one of several equivalent choices).
+
+    ``cluster_col``: a precomputed cluster assignment column name (any
+    deterministic coarse partitioner — hyperplane sign buckets, an IVF
+    assignment, a domain key).  When None, a spherical-k-means
+    quantizer is trained on a bounded sample and items are assigned by
+    one Arrow matmul pass (same machinery as ``ivf_cosine_topk``).
+
+    Returns ``(id, cluster_id, keep)`` for every input item.
+
+    Scale shape — the paper's own complexity, re-expressed in joins:
+    the within-cluster self-join is O(Σ c_i²), the SemDeDup trade: at
+    fleet scale raise ``n_centroids`` ∝ corpus size so clusters stay
+    ~constant-sized (the paper uses 50k clusters for LAION-440M), and
+    AQE's skew-join split handles natural cluster imbalance.  Nothing
+    here is all-pairs across clusters.
+    """
+    if cluster_col is None:
+        cent = train_ivf_centroids(
+            items, n_centroids, n_iters, sample_size, seed, id_col, vec_col
+        )
+
+        def compute(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                nrows = len(batch)
+                if nrows == 0:
+                    continue
+                flat = batch.column(1).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                m = flat.astype(np.float64).reshape(nrows, -1)
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0] = 1.0
+                cids = ((m / norms[:, None]) @ cent.T).argmax(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1),
+                     pa.array(cids.astype(np.int32))],
+                    names=[id_col, vec_col, "cluster_id"],
+                )
+
+        vec_type = dict(items.dtypes)[vec_col]
+        assigned = items.select(id_col, vec_col).mapInArrow(
+            compute, f"{id_col} long, {vec_col} {vec_type}, cluster_id int"
+        )
+    else:
+        assigned = items.select(
+            id_col, vec_col, F.col(cluster_col).alias("cluster_id")
+        )
+
+    tau = 1.0 - eps
+    left = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id1"),
+        F.col(vec_col).alias("_v1"),
+    )
+    right = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id2"),
+        F.col(vec_col).alias("_v2"),
+    )
+    dropped = (
+        left.join(right, "cluster_id")
+        .where(F.col("_id1") < F.col("_id2"))
+        .where(F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6) >= tau)
+        .select(F.col("_id2").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dropped.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -429,3 +429,132 @@ def test_tree_merge_partials_byte_equal(spark):
     assert cms.count("k0") >= 1
     est = hll_distinct(df, "k", m=256)
     assert 400 < est < 800
+
+
+def test_semantic_dedup_kmeans_matches_numpy_oracle(spark):
+    """SemDeDup's default k-means path vs an independent numpy oracle:
+    well-separated planted clusters (so the coarse assignment is
+    unambiguous) with exact-duplicate pairs planted inside clusters and
+    a near-miss pair straddling the threshold."""
+    from bloom_filters_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # geometry chosen so same-cluster non-duplicate cosine tops out
+    # ~0.88 (below the 0.95 dup threshold) while assignment to the
+    # nearest center stays unambiguous
+    centers = rng.standard_normal((4, 24)) * 2
+    rows, vecs = [], {}
+    vid = 0
+    for c in range(4):
+        for _ in range(25):
+            v = centers[c] + 1.4 * rng.standard_normal(24)
+            rows.append((vid, v.tolist()))
+            vecs[vid] = v
+            vid += 1
+    # exact duplicates of every 10th item
+    planted = []
+    for src in range(0, 100, 10):
+        rows.append((vid, vecs[src].tolist()))
+        vecs[vid] = vecs[src]
+        planted.append((src, vid))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, eps=0.05, n_centroids=4, sample_size=110, seed=7
+        ).collect()
+    }
+    assert len(out) == len(rows)
+
+    # numpy oracle: same rule, clusters by nearest planted center
+    ids = sorted(vecs)
+    X = np.array([vecs[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = (Xn @ cn.T).argmax(axis=1)
+    sims = Xn @ Xn.T
+    want_keep = {}
+    for a_i, a in enumerate(ids):
+        dup = any(
+            assign[b_i] == assign[a_i]
+            and round(float(sims[a_i, b_i]), 6) >= 0.95
+            for b_i, b in enumerate(ids) if b < a
+        )
+        want_keep[a] = not dup
+    assert {i: k for i, (_, k) in out.items()} == want_keep
+    # every planted duplicate dropped, its source kept
+    for src, dup in planted:
+        assert out[src][1] and not out[dup][1]
+        assert out[src][0] == out[dup][0]  # same cluster
+
+
+def test_semantic_dedup_precomputed_cluster_col(spark):
+    """cluster_col path: clustering is caller-owned; only same-cluster
+    duplicates are seen (a cross-cluster exact dup survives — the
+    documented SemDeDup trade the coarse quantizer makes)."""
+    from bloom_filters_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, v, 0), (1, v, 0),          # same-cluster exact dups
+        (2, v, 1),                      # exact dup but other cluster
+        (3, [0.0, 1.0, 0.0, 0.0], 0),  # unrelated
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, bucket int"
+    )
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(df, eps=0.05, cluster_col="bucket").collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Documents sharing the target slice's vocabulary must outscore
+    documents of pure source-only vocabulary, in both bucket-hash
+    modes; n_grams = unigrams + bigrams."""
+    from bloom_filters_spark.operators.dsir import dsir_importance_weights
+
+    target_rows = [(100 + i, "alpha beta gamma delta " * 5) for i in range(8)]
+    source_only = [(i, "zeta eta theta iota " * 5) for i in range(8)]
+    target_like = [(50 + i, "alpha beta gamma delta " * 5) for i in range(4)]
+    df = spark.createDataFrame(
+        source_only + target_like + target_rows, "doc_id long, text string"
+    )
+    tgt = df.filter(F.col("doc_id") >= 100)
+    for mode in ("xxh", "md5"):
+        w = {
+            r["doc_id"]: (r["n_grams"], r["log_ratio"])
+            for r in dsir_importance_weights(
+                df, tgt, n_buckets=256, bucket_hash=mode
+            ).collect()
+        }
+        assert len(w) == 20
+        # 20 tokens -> 20 unigrams + 19 bigrams
+        assert w[0][0] == 39
+        worst_target_like = min(w[50 + i][1] for i in range(4))
+        best_source_only = max(w[i][1] for i in range(8))
+        assert worst_target_like > best_source_only, mode
+
+
+def test_dsir_select_topk_and_gumbel(spark):
+    """topk is the deterministic ranking head; gumbel is deterministic
+    for a fixed seed and still biased toward high weights."""
+    from bloom_filters_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    rows = [(i, ("alpha beta " if i % 2 == 0 else "zeta eta ") * 10)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_importance_weights(df, tgt)
+    top = [r["doc_id"] for r in dsir_select(w, 10).collect()]
+    assert len(top) == 10 and all(d % 2 == 0 for d in top)
+    g1 = sorted(r["doc_id"] for r in dsir_select(w, 10, mode="gumbel", seed=5).collect())
+    g2 = sorted(r["doc_id"] for r in dsir_select(w, 10, mode="gumbel", seed=5).collect())
+    assert g1 == g2  # deterministic under a fixed seed
+    assert sum(1 for d in g1 if d % 2 == 0) >= 8  # weight bias survives noise

@@ -379,3 +379,51 @@ def test_host_blocked_expr(spark):
         ).collect()
     }
     assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+
+
+def test_c4_line_stats_each_rule(spark):
+    """One doc per C4 rule: terminal punctuation, min words,
+    javascript, boilerplate phrases, lorem ipsum, braces, and the
+    min-sentence composite."""
+    from bloom_filters_spark.functions.text import c4_line_stats
+
+    good = "this line has plenty of words and it ends well."
+    docs = [
+        # 0: three clean sentences -> keep
+        (0, "\n".join([good, "another full sentence with enough words!",
+                       "a third one that also qualifies here?"])),
+        # 1: line without terminal punctuation is dropped
+        (1, "\n".join([good, "no terminal punctuation on this line",
+                       good])),
+        # 2: too few words
+        (2, "\n".join([good, "tiny line.", good])),
+        # 3: javascript mention drops the line
+        (3, "\n".join([good, "please enable JavaScript to view this.",
+                       good])),
+        # 4: cookie boilerplate drops the line
+        (4, "\n".join([good, "we use cookies to improve your site.",
+                       good])),
+        # 5: lorem ipsum kills the whole doc
+        (5, "\n".join([good, "lorem ipsum dolor sit amet anywhere.",
+                       good])),
+        # 6: brace kills the whole doc
+        (6, "\n".join([good, "function f() { return 1; } and more.",
+                       good])),
+        # 7: only two sentences survive -> below min_sentences
+        (7, "\n".join([good, "nope", good])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_line_stats(df).collect()}
+    assert out[0]["keep"] and out[0]["n_kept"] == 3
+    for d in (1, 2, 3, 4):
+        assert out[d]["n_kept"] == 2, d
+    assert out[5]["has_lorem_ipsum"] and not out[5]["keep"]
+    assert out[6]["has_brace"] and not out[6]["keep"]
+    # doc 5's lorem line also fails doc-level only; its 3 lines all end
+    # terminally so n_kept is 3 yet keep is false
+    assert out[5]["n_kept"] == 3
+    assert not out[7]["keep"] and out[7]["n_sentences"] == 2
+    # n_lines always the raw split size
+    assert all(v["n_lines"] == 3 for v in out.values())
+    # clean_chars equals length of surviving text
+    assert out[1]["clean_chars"] == len(good) * 2 + 1
