@@ -406,6 +406,36 @@ def q_decontamination(spark, sf_dir):
     return decontamination_flags(train, bench, L=8)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 keywords by smoothed TF-IDF (ln((N+1)/(df+1))
+    + 1, scikit-learn's convention), deterministic term tiebreak.  Two
+    map-side-combined aggregates, a broadcast vocabulary join, and a
+    doc-partitioned window — no global sort anywhere."""
+    from bloom_filters_spark.operators.tfidf import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_containment_decontamination(spark, sf_dir):
+    """Containment-fraction decontamination (the Llama/Pile-style
+    overlap statistic): per (train doc, eval doc) pair, the fraction of
+    the eval doc's distinct 8-token grams present in the train doc, as
+    integer ppm; pairs at >=30% only.  Same eval split as the flags
+    variant (doc_id % 17 = 3); the broadcast eval-gram join is itself
+    the candidate generator — no cross product at any scale."""
+    from bloom_filters_spark.operators.substring import (
+        containment_decontamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return containment_decontamination(
+        docs.filter(F.col("doc_id") % 17 != 3),
+        docs.filter(F.col("doc_id") % 17 == 3),
+        L=8,
+        threshold_ppm=300_000,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (C4/Dolma-style): emails, IPv4s, and phone
     numbers replaced by typed placeholders, plus per-class match
@@ -1283,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
+        "containment_decontamination": q_containment_decontamination,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "url_canonical_dups": q_url_canonical_dups,
         "pages_canonical_clusters": q_pages_canonical_clusters,
         "top_event_types": q_top_event_types,
@@ -1986,6 +2018,68 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(h.n, 0) > 0 AS contaminated
           FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3) d
           LEFT JOIN hits h USING (doc_id)
+        """,
+        # mirrors operators/tfidf.py: same tokens, same smoothed idf,
+        # same 6dp round, same (score desc, term) in-doc ranking
+        "tfidf_top_terms": r"""
+          WITH toks AS (
+            SELECT doc_id,
+                   str_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+          ), tf AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+          ), c AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+          ), d AS (
+            SELECT term, COUNT(*) AS df FROM c GROUP BY 1
+          ), n AS (
+            SELECT COUNT(*) AS n FROM documents
+          ), s AS (
+            SELECT doc_id, term, tf,
+                   ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6)
+                     AS score
+            FROM c JOIN d USING (term) CROSS JOIN n
+          ), r AS (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS rank FROM s
+          )
+          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+                 CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 5
+        """,
+        # mirrors operators/substring.containment_decontamination at
+        # L=8: string grams stand in for the Arrow rolling hashes (the
+        # 64-bit gram hash is collision-free at fixture scale), same
+        # per-pair distinct-shared counts, same floor-ppm, same 30% cut
+        "containment_decontamination": f"""
+          WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+          ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(t) - 7, 0) + 1),
+                     i -> array_to_string(t[i:i+7], ' ')
+                   )) AS gs
+            FROM toks WHERE len(t) >= 8
+          ), bench AS (
+            SELECT doc_id AS eval_id, unnest(gs) AS gram
+            FROM g WHERE doc_id % 17 = 3
+          ), bsize AS (
+            SELECT eval_id, COUNT(*) AS n_eval_grams FROM bench GROUP BY 1
+          ), train AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 17 <> 3
+          ), shared AS (
+            SELECT t.doc_id, b.eval_id, COUNT(*) AS n_shared
+            FROM train t JOIN bench b USING (gram) GROUP BY 1, 2
+          )
+          SELECT s.doc_id, s.eval_id,
+                 CAST(s.n_shared AS BIGINT) AS n_shared,
+                 CAST(z.n_eval_grams AS BIGINT) AS n_eval_grams,
+                 CAST(FLOOR(s.n_shared * 1000000.0 / z.n_eval_grams)
+                      AS BIGINT) AS containment_ppm
+          FROM shared s JOIN bsize z USING (eval_id)
+          WHERE FLOOR(s.n_shared * 1000000.0 / z.n_eval_grams) >= 300000
         """,
         # PII construction mirrors q_pii_scrub literally; patterns are
         # the SAME Python constants (Java-regex/RE2-shared syntax), so

@@ -343,3 +343,59 @@ def decontamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+def containment_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    L: int = 8,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Containment-fraction decontamination — the fuzzy complement of
+    ``decontamination_flags``: instead of "shares >=1 gram", compute
+    per (train doc, eval doc) pair the fraction of the EVAL doc's
+    distinct L-token grams the train doc contains,
+    ``|G_eval ∩ G_doc| / |G_eval|`` — the Llama/Pile-style overlap
+    statistic that catches partially-copied or lightly-reworded eval
+    content a single 13-gram hit understates and a strict
+    every-gram-match misses.  Emits ``(doc id, eval id, n_shared,
+    n_eval_grams, containment_ppm)`` for pairs at or above
+    ``threshold_ppm`` (integer ppm -> hash-exact cross-engine).
+
+    Scale shape: same as the flags variant — eval grams broadcast
+    (eval sets are tiny next to the corpus at any scale), the corpus
+    side is the one fused Arrow gram pass, and because the broadcast
+    rows carry ``eval_id`` the gram equi-join IS the candidate
+    generator: only genuinely co-occurring (doc, eval) pairs ever
+    materialize, never a doc x eval cross product.  The per-pair count
+    aggregate is algebraic (map-side combined).
+    """
+    doc_grams = gram_hash_rows(docs, L, id_col, text_col)
+    bench_grams = gram_hash_rows(
+        benchmark, L, id_col, text_col
+    ).withColumnRenamed(id_col, eval_id_col)
+    eval_sizes = bench_grams.groupBy(eval_id_col).agg(
+        F.count(F.lit(1)).alias("n_eval_grams")
+    )
+    shared = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(eval_sizes), eval_id_col)
+        .withColumn(
+            "containment_ppm",
+            F.floor(
+                F.col("n_shared") * 1_000_000 / F.col("n_eval_grams")
+            ).cast("long"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select(
+            id_col, eval_id_col, "n_shared", "n_eval_grams",
+            "containment_ppm",
+        )
+    )

@@ -558,3 +558,73 @@ def test_dsir_select_topk_and_gumbel(spark):
     g2 = sorted(r["doc_id"] for r in dsir_select(w, 10, mode="gumbel", seed=5).collect())
     assert g1 == g2  # deterministic under a fixed seed
     assert sum(1 for d in g1 if d % 2 == 0) >= 8  # weight bias survives noise
+
+
+def test_containment_decontamination_planted(spark):
+    """An eval doc half-copied into a train doc yields the expected
+    containment fraction; unrelated docs never appear (the gram join
+    is the candidate generator)."""
+    import math
+
+    from bloom_filters_spark.operators.substring import (
+        containment_decontamination,
+    )
+
+    eval_words = [f"ev{i}" for i in range(16)]      # 16 tokens -> 9 8-grams
+    train_copy = eval_words[:12] + [f"tr{i}" for i in range(12)]
+    unrelated = [f"xx{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(train_copy)), (2, " ".join(unrelated))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(eval_words))], "doc_id long, text string"
+    )
+    out = containment_decontamination(
+        docs, bench, L=8, threshold_ppm=100_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # eval doc: 9 grams; train doc contains grams of ev0..ev11 -> 5
+    assert (r["doc_id"], r["eval_id"]) == (1, 100)
+    assert (r["n_shared"], r["n_eval_grams"]) == (5, 9)
+    assert r["containment_ppm"] == math.floor(5 * 1_000_000 / 9)
+
+
+def test_tf_idf_top_terms_hand_computed(spark):
+    """Three tiny docs with known counts: scores equal the hand
+    formula, ranking is deterministic with term tiebreaks, and the
+    shuffle-vocab path returns identical rows."""
+    import math
+
+    from bloom_filters_spark.operators.tfidf import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+        for r in tf_idf_top_terms(docs, k=2).collect()
+    }
+
+    def score(tf, df):
+        return round(tf * (math.log(4.0 / (df + 1)) + 1.0), 6)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, "apple")] == (2, score(2, 1), 1)
+    assert out[(1, "banana")] == (1, score(1, 2), 2)
+    # doc 3: cherry tf=3 df=2 outscores date tf=1 df=1
+    assert out[(3, "cherry")][2] == 1 and out[(3, "date")][2] == 2
+    # doc 2: banana and cherry tie at tf=1, df=2 -> term asc breaks it
+    assert out[(2, "banana")][2] == 1 and out[(2, "cherry")][2] == 2
+    # shuffle-vocab path identical
+    alt = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+        for r in tf_idf_top_terms(docs, k=2, broadcast_vocab=False).collect()
+    }
+    assert alt == out
