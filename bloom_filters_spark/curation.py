@@ -98,3 +98,50 @@ def hash_sample(
     return hash_threshold_sample(
         df, fraction, key_col=key_col, salt=SALT_SAMPLE
     )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 structural document gate (Raffel et al. 2020 §2.2): keep rows
+    passing the lorem-ipsum / brace / min-sentence composite computed
+    over C4-kept lines.  The verdict is a pure per-row expression
+    (functions/text.c4_exprs), so this is a shuffle-free inline filter
+    — no id minting, no join back, all payload columns survive."""
+    from bloom_filters_spark.functions.text import c4_exprs
+
+    return df.filter(
+        c4_exprs(F.col(text_col), min_words, min_sentences)["keep"]
+    )
+
+
+def dsir_top_select(
+    df: DataFrame,
+    target_expr: str,
+    k: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR stage: keep the ``k`` documents whose hashed-n-gram
+    distribution best matches the target slice ``target_expr`` (a SQL
+    boolean over the input's own columns, e.g. ``lang = 'en'``).
+    Production bucket hash (xxhash64); selection is the deterministic
+    ranking head via distributed TakeOrdered; survivors keep every
+    input column via a key semi-join."""
+    from bloom_filters_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    slim = df.select(key_col, text_col)
+    weights = dsir_importance_weights(
+        slim,
+        df.filter(F.expr(target_expr)).select(key_col, text_col),
+        n_buckets=n_buckets, id_col=key_col, text_col=text_col,
+    )
+    keep = dsir_select(weights, k, id_col=key_col).select(key_col)
+    return df.join(keep, key_col, "left_semi")

@@ -534,16 +534,14 @@ def pii_count_exprs(text: Column) -> dict:
 C4_BOILERPLATE_PHRASES = ("cookie", "privacy policy", "terms of use")
 
 
-def c4_line_stats(
-    df,
-    min_words: int = 5,
-    min_sentences: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-):
-    """C4 cleaning rules as one codegen'd pass (Raffel et al. 2020
-    §2.2, the public "Colossal Clean Crawled Corpus" recipe) — the
-    engine addition the reference's text layer lacks.
+def c4_exprs(
+    text: Column, min_words: int = 5, min_sentences: int = 3
+) -> dict:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, the public
+    "Colossal Clean Crawled Corpus" recipe) as pure per-row column
+    expressions — so callers can FILTER inline (``c4_exprs(col)
+    ["keep"]``) with zero shuffle and zero joins, or project the full
+    stat row (``c4_line_stats``).
 
     Line level (a line is kept iff ALL hold):
 
@@ -557,12 +555,10 @@ def c4_line_stats(
     ``lorem ipsum`` or a ``{`` (code leak), or when the kept lines
     carry fewer than ``min_sentences`` sentence-terminal marks.
 
-    Every output is an integer or boolean (hash-exact cross-engine).
-    Scale shape: pure per-row JVM higher-order functions over the
-    pruned (id, text) scan — no explode, no shuffle, whole-stage
-    codegen end to end.
+    Every output is an integer or boolean (hash-exact cross-engine);
+    everything stays inside whole-stage codegen.
     """
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(text, "\n")
 
     def line_kept(line):
         t = F.trim(line)
@@ -579,19 +575,30 @@ def c4_line_stats(
 
     kept = F.filter(lines, line_kept)
     clean = F.array_join(kept, "\n")
-    low_all = F.lower(F.col(text_col))
+    low_all = F.lower(text)
     has_lorem = low_all.contains("lorem ipsum")
-    has_brace = F.col(text_col).contains("{")
+    has_brace = text.contains("{")
     n_sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
-    return df.select(
-        id_col,
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_brace"),
-        n_sentences.alias("n_sentences"),
-        (
-            ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
-        ).alias("keep"),
-        F.length(clean).alias("clean_chars"),
-    )
+    return {
+        "n_lines": F.size(lines),
+        "n_kept": F.size(kept),
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "n_sentences": n_sentences,
+        "keep": ~has_lorem & ~has_brace & (n_sentences >= min_sentences),
+        "clean_chars": F.length(clean),
+    }
+
+
+def c4_line_stats(
+    df,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document projection of ``c4_exprs`` — the oracle-facing
+    stat table ``(id, n_lines, n_kept, has_lorem_ipsum, has_brace,
+    n_sentences, keep, clean_chars)``."""
+    ex = c4_exprs(F.col(text_col), min_words, min_sentences)
+    return df.select(id_col, *[c.alias(k) for k, c in ex.items()])

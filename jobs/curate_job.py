@@ -1,6 +1,7 @@
 """spark-submit entry point for the end-to-end training-data curation
-pipeline: quality filter → dedup → domain cap → language rebalance →
-token-budget selection → train/val/test split.
+pipeline: quality filter → C4 structural gate → dedup → domain cap →
+DSIR target-matching selection → language rebalance → token-budget
+selection → train/val/test split.
 
 Every stage is optional and composable; each is one of the engine's
 tested operators (functions/text.py, operators/sampling.py,
@@ -15,8 +16,9 @@ observable, never silent.
         jobs/curate_job.py \
         --input  /path/to/docs.parquet \
         --output /path/to/curated \
-        [--quality-filter] [--max-rare-ppm 500000] \
+        [--quality-filter] [--c4-filter] [--max-rare-ppm 500000] \
         [--dedup exact|near] [--threshold 0.8] \
+        [--dsir-top N --dsir-target "lang = 'en'"] \
         [--pages --domain-cap K] \
         [--stratify-col lang --stratify-budget N --alpha 0.5] \
         [--token-budget-frac 0.5] \
@@ -63,6 +65,16 @@ def main():
                    help="with --pages: comma-separated blocked domains "
                         "(subdomains match); applied right after "
                         "--latest-revision")
+    p.add_argument("--c4-filter", action="store_true",
+                   help="C4 structural gate: drop docs with lorem "
+                        "ipsum / braces / too few sentences over "
+                        "C4-kept lines")
+    p.add_argument("--dsir-top", type=int, default=None,
+                   help="keep the N docs whose hashed-n-gram mix best "
+                        "matches --dsir-target (DSIR importance head)")
+    p.add_argument("--dsir-target", default="true",
+                   help="SQL boolean over input columns marking the "
+                        "target slice, e.g. \"lang = 'en'\"")
     p.add_argument("--quality-filter", action="store_true",
                    help="Gopher-style composite gates (default thresholds)")
     p.add_argument("--dedup", choices=["off", "exact", "near"],
@@ -181,6 +193,11 @@ def main():
             cur.quality_filter(df, text_col=args.text_col), "after_quality"
         )
 
+    if args.c4_filter:
+        df = _advance(
+            cur.c4_filter(df, text_col=args.text_col), "after_c4"
+        )
+
     if args.max_rare_ppm is not None:
         df = _advance(
             cur.rarity_filter(
@@ -233,6 +250,15 @@ def main():
         df = _advance(
             cur.domain_cap(df, args.domain_cap, key_col=key_col),
             "after_domain_cap",
+        )
+
+    if args.dsir_top is not None:
+        df = _advance(
+            cur.dsir_top_select(
+                df, args.dsir_target, args.dsir_top,
+                key_col=key_col, text_col=args.text_col,
+            ),
+            "after_dsir",
         )
 
     if args.stratify_col:

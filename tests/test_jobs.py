@@ -133,3 +133,35 @@ def test_latest_revision_null_ts_survives(spark, tmp_path):
     # a: latest ts wins (1 row); b: all-NULL group survives (both
     # byte-identical (url, ts) ties kept); c: real ts beats NULL (1)
     assert st["after_latest_revision"] == 4
+
+
+def test_curate_job_c4_and_dsir_stages(spark, tmp_path):
+    """--c4-filter and --dsir-top end to end through spark-submit:
+    docs get a synthetic line structure (half of them C4-dirty), then
+    DSIR keeps the N best target-matching survivors."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "c4docs.parquet")
+    d = spark.read.parquet(DOCS)
+    good = "this tail line has plenty of extra words attached here."
+    d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"), F.lit(".\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(good))
+            .otherwise(F.lit("lorem ipsum dolor sit amet")),
+            F.lit("\n"), F.col("text"), F.lit("!"),
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(path)
+
+    out = str(tmp_path / "curated")
+    m = _run_job(
+        "curate_job.py", "--input", path, "--output", out,
+        "--c4-filter", "--dsir-top", "20",
+        "--dsir-target", "lang = 'en'",
+    )
+    st = m["stages"]
+    assert st["rows_in"] == 500
+    # odd doc_ids carry lorem ipsum -> dropped by the C4 gate
+    assert st["after_c4"] == 250
+    assert st["after_dsir"] == 20 == st["rows_out"]

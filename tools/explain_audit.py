@@ -135,6 +135,37 @@ CHECKS = {
         [r"ReadSchema: [^\n]*text", r"Exchange", r"ArrowEvalPython",
          r"BatchEvalPython"],
     ),
+    "c4_quality_flags": (
+        # one codegen'd higher-order-function pass: pruned scan,
+        # shuffle-free, no Python anywhere
+        [r"ReadSchema: [^\n]*doc_id[^\n]*text"],
+        [r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "dsir_scores": (
+        # bucket distributions and log-ratio table must BROADCAST back
+        # to the (doc,bucket) side — never a sort-merge vs the corpus
+        [r"BroadcastHashJoin", r"HashAggregate"],
+        [r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
+    "semantic_dedup": (
+        # hyperplane cluster variant: pure JVM exprs + an equi-join on
+        # cluster_id; no Python (the k-means path's mapInArrow is the
+        # assignment kernel, not used here)
+        [r"ReadSchema: [^\n]*vec_id[^\n]*embedding"],
+        [r"ArrowEvalPython", r"BatchEvalPython", r"CartesianProduct"],
+    ),
+    "containment_decontamination": (
+        # eval gram rows broadcast (candidate generator); corpus side
+        # is the fused Arrow gram pass
+        [r"BroadcastHashJoin", r"PushedFilters: \[.*doc_id"],
+        [r"BatchEvalPython", r"SortMergeJoin"],
+    ),
+    "tfidf_top_terms": (
+        # vocabulary join broadcasts; per-doc window only (never the
+        # unpartitioned global-window warning shape)
+        [r"BroadcastHashJoin", r"Window", r"HashAggregate"],
+        [r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
 }
 
 
