@@ -1236,6 +1236,41 @@ def q_embedding_ivf_recall(spark, sf_dir):
     )
 
 
+def q_embedding_pq_recall(spark, sf_dir):
+    """Product-quantization quality gate (same winnable claim as the
+    LSH/IVF gates): the PQ+rerank top-1 must land in the exact top-10
+    per query, while the candidate scan reads m=8 one-byte codes per
+    item instead of the 512-byte vector (asymmetric distance via
+    broadcast query LUTs, operators/similarity.pq_cosine_topk)."""
+    from bloom_filters_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 5)
+    ann1 = pq_cosine_topk(
+        items, queries, k=1, m=8, ks=16, rerank_factor=16, seed=42
+    ).select("query_id", F.col("vec_id").alias("ann_top1"))
+    exact10 = cosine_topk(items, queries, k=10).select(
+        F.col("query_id").alias("qid"), "vec_id"
+    )
+    return ann1.join(
+        exact10,
+        (ann1.query_id == exact10.qid) & (ann1.ann_top1 == exact10.vec_id),
+        "left",
+    ).select(
+        "query_id",
+        F.when(F.col("vec_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top1_in_exact10"),
+    )
+
+
 def q_embedding_mutual_nn(spark, sf_dir):
     """Embedding-cosine near-dup: mutual exact nearest-neighbor pairs
     (rank-based so cross-engine float rounding can't flip a threshold)."""
@@ -1335,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_recall": q_embedding_ann_recall,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ivf_recall": q_embedding_ivf_recall,
+        "embedding_pq_recall": q_embedding_pq_recall,
         "embedding_mutual_nn": q_embedding_mutual_nn,
         "xor_membership": q_xor_membership,
         "set_reconcile_customers": q_set_reconcile_customers,
@@ -1587,6 +1623,11 @@ def oracle_sql() -> dict[str, str]:
           ) AS t(query_id, vec_id, rank)
         """,
         "embedding_ivf_recall": """
+          SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS top1_in_exact10
+          FROM embeddings WHERE vec_id < 5
+        """,
+        # PQ gate: same winnable all-ones claim as the LSH/IVF gates
+        "embedding_pq_recall": """
           SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS top1_in_exact10
           FROM embeddings WHERE vec_id < 5
         """,

@@ -590,3 +590,187 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def train_pq_codebooks(
+    items: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iters: int = 12,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, the faiss
+    IVF-PQ building block): split the (unit-normalized) vector into
+    ``m`` subspaces and run plain L2 k-means with ``ks`` centroids in
+    each, on the SAME deterministic bounded id-ordered sample the IVF
+    trainer uses.  Returns float64 ``(m, ks, dim/m)``.
+
+    Deterministic: seeded k-means++ per subspace, stable assignment
+    (ties → lowest centroid id), empty clusters reseeded to the point
+    farthest from its centroid (ties → lowest sample index).
+    """
+    rows = (
+        items.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    x = mat / norms[:, None]
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ks:
+        raise ValueError(f"sample has {n} vectors < ks={ks}")
+    rng = np.random.default_rng(seed)
+    sub = dim // m
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = np.empty((ks, sub))
+        cent[0] = xs[rng.integers(n)]
+        d2 = ((xs - cent[0]) ** 2).sum(axis=1)
+        for c in range(1, ks):
+            p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+            cent[c] = xs[rng.choice(n, p=p)]
+            d2 = np.minimum(d2, ((xs - cent[c]) ** 2).sum(axis=1))
+        for _ in range(n_iters):
+            dist = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)        # stable: lowest id wins
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members) == 0:
+                    cent[c] = xs[int(dist.min(axis=1).argmax())]
+                    continue
+                cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank_factor: int = 4,
+    n_iters: int = 12,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ approximate top-k with exact re-rank — the memory-bandwidth
+    scale path: each item is scored from ``m`` one-byte codes via
+    query-specific lookup tables (asymmetric distance computation), so
+    the scan reads m bytes/vector instead of 8·dim, and only
+    ``k·rerank_factor`` candidates per query ever touch their full
+    vectors again.
+
+    Spark shape: codebooks train on the bounded driver sample; ONE
+    mapInArrow pass encodes each item batch and scores it against the
+    broadcast query LUTs, emitting only each batch's per-query top
+    ``k·rerank_factor`` (an item in the global top-t is top-t in its
+    own batch, so the union is a superset of the global top-t —
+    partition-independent); a per-query window takes the global
+    candidate set; exact cosine re-ranks it.  Same determinism
+    conventions as the LSH/IVF paths (6dp round, id tiebreaks).
+    """
+    books = train_pq_codebooks(
+        items, m, ks, n_iters, sample_size, seed, id_col, vec_col
+    )
+    qrows = sorted(
+        queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    dim = qmat.shape[1]
+    sub = dim // m
+    # LUT[q, j, c] = <query subvector j, codebook[j][c]>
+    lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qids), m, sub), books
+    )
+    t = k * rerank_factor
+
+    def compute(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64).reshape(n, -1)
+            norms = np.linalg.norm(x, axis=1)
+            norms[norms == 0] = 1.0
+            x = x / norms[:, None]
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                dist = (
+                    (xs ** 2).sum(axis=1)[:, None]
+                    - 2.0 * xs @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = dist.argmin(axis=1)
+            # approx cosine: sum of per-subspace LUT entries
+            scores = np.zeros((len(qids), n))
+            for j in range(m):
+                scores += lut[:, j, :][:, codes[:, j]]
+            t_eff = min(t, n)
+            # per-batch per-query top-t by (-score, id): stable superset
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids[None, :].repeat(len(qids), 0),
+                                -scores), axis=1)[:, :t_eff]
+            q_idx = np.repeat(np.arange(len(qids)), t_eff)
+            i_idx = order.reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[q_idx]),
+                    pa.array(ids[i_idx]),
+                    pa.array(scores[q_idx, i_idx]),
+                ],
+                names=[query_id_col, id_col, "_approx"],
+            )
+
+    cands = items.select(id_col, vec_col).mapInArrow(
+        compute, f"{query_id_col} long, {id_col} long, _approx double"
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_approx"), F.asc(id_col)
+    )
+    shortlist = (
+        cands.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= t)
+        .select(query_id_col, id_col)
+    )
+    qdf = queries.select(
+        query_id_col, F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        shortlist.join(items.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_expr(F.col("_qvec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -628,3 +628,49 @@ def test_tf_idf_top_terms_hand_computed(spark):
         for r in tf_idf_top_terms(docs, k=2, broadcast_vocab=False).collect()
     }
     assert alt == out
+
+
+def test_pq_cosine_topk_planted_and_deterministic(spark):
+    """PQ + exact rerank: planted near-copies of every query come back
+    rank 1; results are identical across partitionings (the per-batch
+    top-t emission is a superset of the global top-t by construction);
+    codebook training guards fire."""
+    from bloom_filters_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(400)]
+    for q in range(4):  # ids 1000+q: near-copies of the queries
+        rows.append(
+            (1000 + q,
+             (np.array(rows[q][1]) + 0.02 * rng.standard_normal(64)).tolist())
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = df.filter(F.col("vec_id") >= 4)
+    kw = dict(k=10, m=8, ks=16, sample_size=400, seed=3)
+    pq = pq_cosine_topk(items.repartition(4), queries, **kw).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in pq if r["rank"] == 1}
+    assert top1 == {q: 1000 + q for q in range(4)}
+    # top-1 lands in the exact top-10 (the LSH/IVF winnable gate)
+    exact10 = {}
+    for r in cosine_topk(items, queries, k=10).collect():
+        exact10.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, vid in top1.items():
+        assert vid in exact10[q]
+    # partition independence + determinism
+    a = sorted(map(tuple,
+                   pq_cosine_topk(items.repartition(2), queries, **kw).collect()))
+    b = sorted(map(tuple,
+                   pq_cosine_topk(items.repartition(7), queries, **kw).collect()))
+    assert a == b == sorted(map(tuple, pq))
+    # guards
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(items, m=7)
+    with pytest.raises(ValueError, match="ks"):
+        train_pq_codebooks(items.limit(4), m=8, ks=16, sample_size=4)

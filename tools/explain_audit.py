@@ -160,6 +160,12 @@ CHECKS = {
         [r"BroadcastHashJoin", r"PushedFilters: \[.*doc_id"],
         [r"BatchEvalPython", r"SortMergeJoin"],
     ),
+    "embedding_pq_recall": (
+        # PQ candidate scan is the mapInArrow LUT kernel; query side
+        # broadcasts for the exact re-rank; no row-Python, no cross
+        [r"BroadcastHashJoin"],
+        [r"BatchEvalPython", r"CartesianProduct"],
+    ),
     "tfidf_top_terms": (
         # vocabulary join broadcasts; per-doc window only (never the
         # unpartitioned global-window warning shape)
