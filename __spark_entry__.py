@@ -846,6 +846,18 @@ def _synth_c4_docs(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus health report — doc/token/char volumes
+    plus the Gopher-composite pass count, all integers.  One map-side-
+    combined aggregate over the pruned scan; output stays
+    |langs|x|sources| rows at any corpus size."""
+    from bloom_filters_spark.functions.text import corpus_report
+
+    return corpus_report(
+        _docs(spark, sf_dir), max_dup_word_ppm=600_000
+    )
+
+
 def q_c4_quality_flags(spark, sf_dir):
     """C4 structural cleaning (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation / min-words / javascript / boilerplate-phrase
@@ -1381,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "c4_quality_flags": q_c4_quality_flags,
         "dsir_scores": q_dsir_scores,
+        "corpus_report": q_corpus_report,
         "semantic_dedup": q_semantic_dedup,
         "hash_split": q_hash_split,
         "rare_trigram_score": q_rare_trigram_score,
@@ -2622,6 +2635,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, n_grams, log_ratio,
                  doc_id IN (SELECT doc_id FROM sel) AS selected
           FROM w
+        """,
+        # mirrors functions/text.corpus_report at max_dup_word_ppm=
+        # 600000: same tokens, same integer gopher gates, same
+        # per-(lang, source) integer aggregate
+        "corpus_report": f"""
+          WITH base AS (
+            SELECT lang, source, text, {_TOKS} AS toks FROM documents
+          ), m AS (
+            SELECT lang, source, text, toks, len(toks) AS n,
+              length(array_to_string(toks, ' '))
+                - greatest(len(toks) - 1, 0) AS chars,
+              {_sw_count("en")} AS n_sw
+            FROM base
+          ), f AS (
+            SELECT lang, source, n, length(text) AS raw_chars,
+              (CASE WHEN n > 0
+                    THEN CAST(FLOOR((chars::DOUBLE / n) * 1000000.0)
+                              AS BIGINT)
+                    ELSE 0 END) AS mean_ppm,
+              CAST(FLOOR((length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                   / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END))
+                   * 1000000.0) AS BIGINT) AS punct_ppm,
+              n_sw,
+              CAST(FLOOR((CASE WHEN n > 0
+                   THEN 1.0 - len(list_distinct(toks))::DOUBLE / n
+                   ELSE 0.0 END) * 1000000.0) AS BIGINT) AS dup_ppm
+            FROM m
+          )
+          SELECT lang, source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS total_tokens,
+                 CAST(SUM(raw_chars) AS BIGINT) AS total_chars,
+                 CAST(MIN(n) AS INTEGER) AS min_tokens,
+                 CAST(MAX(n) AS INTEGER) AS max_tokens,
+                 CAST(SUM(CASE WHEN n >= 15 AND n <= 100000
+                      AND mean_ppm >= 3000000 AND mean_ppm <= 10000000
+                      AND punct_ppm <= 100000 AND n_sw >= 2
+                      AND dup_ppm <= 600000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quality_pass
+          FROM f GROUP BY 1, 2
         """,
         # mirrors _synth_c4_docs + functions/text.c4_line_stats: same
         # derived three-line corpus, same line gates (terminal punct,

@@ -602,3 +602,40 @@ def c4_line_stats(
     n_sentences, keep, clean_chars)``."""
     ex = c4_exprs(F.col(text_col), min_words, min_sentences)
     return df.select(id_col, *[c.alias(k) for k, c in ex.items()])
+
+
+def corpus_report(
+    df,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    max_dup_word_ppm: int = 300_000,
+):
+    """Per-slice corpus health report — the first query a curation run
+    executes against a new crawl: document and token volumes plus the
+    Gopher-composite pass rate per (lang, source) slice, everything an
+    integer so the report is hash-exact cross-engine.
+
+    One pass, one map-side-combined aggregate on the (small) group
+    key — no windows, no joins; at 10^12 docs the output stays
+    |langs|x|sources| rows.
+    """
+    flags = gopher_flags_exprs(
+        F.col(text_col), max_dup_word_ppm=max_dup_word_ppm
+    )
+    return (
+        df.select(
+            *group_cols,
+            token_count_expr(F.col(text_col)).alias("_tok"),
+            F.length(text_col).alias("_chars"),
+            flags["keep"].cast("long").alias("_keep"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.sum("_chars").alias("total_chars"),
+            F.min("_tok").alias("min_tokens"),
+            F.max("_tok").alias("max_tokens"),
+            F.sum("_keep").alias("n_quality_pass"),
+        )
+    )

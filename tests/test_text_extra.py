@@ -427,3 +427,28 @@ def test_c4_line_stats_each_rule(spark):
     assert all(v["n_lines"] == 3 for v in out.values())
     # clean_chars equals length of surviving text
     assert out[1]["clean_chars"] == len(good) * 2 + 1
+
+
+def test_corpus_report_hand_counted(spark):
+    """Two slices with known volumes: counts, token/char sums, extrema,
+    and the gopher pass count all hand-verifiable."""
+    from bloom_filters_spark.functions.text import corpus_report
+
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "was that good for all of us in every way so far")
+    docs = [
+        (1, "en", "web", good),
+        (2, "en", "web", "tiny"),            # fails min_tokens
+        (3, "en", "wiki", good + " again"),
+        (4, "de", "web", good),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, source string, text string")
+    out = {(r["lang"], r["source"]): r.asDict() for r in corpus_report(df).collect()}
+    assert set(out) == {("en", "web"), ("en", "wiki"), ("de", "web")}
+    r = out[("en", "web")]
+    assert r["n_docs"] == 2
+    assert r["total_tokens"] == len(good.split()) + 1
+    assert r["total_chars"] == len(good) + 4
+    assert (r["min_tokens"], r["max_tokens"]) == (1, len(good.split()))
+    assert r["n_quality_pass"] == 1      # 'tiny' fails the token gate
+    assert out[("en", "wiki")]["n_quality_pass"] == 1

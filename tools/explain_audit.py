@@ -135,6 +135,12 @@ CHECKS = {
         [r"ReadSchema: [^\n]*text", r"Exchange", r"ArrowEvalPython",
          r"BatchEvalPython"],
     ),
+    "corpus_report": (
+        # one map-side-combined aggregate over the pruned scan; no
+        # windows, no joins, no Python
+        [r"HashAggregate", r"ReadSchema: [^\n]*lang[^\n]*source"],
+        [r"Window", r"Join", r"ArrowEvalPython", r"BatchEvalPython"],
+    ),
     "c4_quality_flags": (
         # one codegen'd higher-order-function pass: pruned scan,
         # shuffle-free, no Python anywhere
