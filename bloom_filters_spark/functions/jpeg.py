@@ -149,9 +149,13 @@ class _BitReader:
             self.bitbuf = (self.bitbuf << 8) | 0xFF
             self.nbits += 8
             return
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
@@ -244,6 +248,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         seg_len = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -325,6 +331,8 @@ def _resync_to_marker(reader: "_BitReader") -> int:
         return reader.pos - 2
     data, p = reader.data, reader.pos
     while True:
+        if p + 1 >= len(data):
+            raise ValueError("truncated JPEG: no marker after scan data")
         if data[p] != 0xFF:
             p += 1
             continue

@@ -238,6 +238,13 @@ def decode_image(payload: bytes, fake_decode: bool = False,
     default everywhere in this repo).  Pass ``strict=True`` to make a
     missing Pillow raise instead of silently switching decoder
     families."""
+    if strict and not use_pillow:
+        raise ValueError(
+            "decode_image(strict=True) is only meaningful with "
+            "use_pillow=True — strict forbids the silent fallback from "
+            "Pillow to the built-in decoders, so without use_pillow "
+            "there is nothing to be strict about"
+        )
     if use_pillow:
         try:
             import io

@@ -490,6 +490,12 @@ def token_budget_select(
     # partition is ~1/65536 of the bucket instead of all of it.
     boundary_prefix_len = 4
     tok_long = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    # persist: the boundary bucket is scanned up to three times (the
+    # sub-bucket histogram collect below, then the `below` and `edge`
+    # branches at execution) — without this each pass re-runs the
+    # corpus filter + md5 from the source scan.  Spark's LRU evicts it
+    # after the caller materializes; the bucket is ~1/|score buckets|
+    # of the corpus by construction.
     b = (
         df.filter(boundary_cond)
         .withColumn("_h", rank_hash_expr(key_col, salt))
@@ -499,6 +505,7 @@ def token_budget_select(
                 F.substring(F.col("_h"), 1, boundary_prefix_len), 16, 10
             ).cast("long"),
         )
+        .persist()
     )
     sb_rows = (
         b.groupBy("_sb")

@@ -488,16 +488,27 @@ def topk_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     )
     other = F.broadcast(
         top.select(
-            F.col("value").alias("_v"), F.col("frequency").alias("_f")
+            F.col("value").alias("_v"),
+            F.col("frequency").alias("_f"),
+            F.lit(1).alias("_one"),
         )
     )
+    # NULL-safe "sorts strictly earlier" matching ORDER BY frequency
+    # DESC, value ASC (Spark asc = NULLS FIRST): a NULL value precedes
+    # every non-NULL value at the same frequency.  Plain `_v < value`
+    # is NULL (never true) whenever either side is NULL, which
+    # duplicated/skipped ranks on NULL-valued frequency ties.
     earlier = (F.col("_f") > F.col("frequency")) | (
-        (F.col("_f") == F.col("frequency")) & (F.col("_v") < F.col("value"))
+        (F.col("_f") == F.col("frequency"))
+        & (
+            (F.col("_v").isNull() & F.col("value").isNotNull())
+            | (F.col("_v") < F.col("value"))
+        )
     )
     return (
         top.join(other, earlier, "left")
         .groupBy("value", "frequency")
-        .agg((F.count("_v") + 1).cast("int").alias("rank"))
+        .agg((F.count("_one") + 1).cast("int").alias("rank"))
     )
 
 

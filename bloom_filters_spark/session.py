@@ -30,7 +30,10 @@ def get_spark(
     # 8-byte hashes).  On a real fleet (non-local master) shuffles cross
     # the wire, so compression stays ON by default there and the env var
     # only opts out explicitly.
-    local_master = master.startswith("local")
+    # strictly local[...] / local[N,F] / bare "local" — NOT
+    # local-cluster[...], whose separate executor JVMs fetch shuffle
+    # blocks over sockets and belong with the compression-on default
+    local_master = master == "local" or master.startswith("local[")
     compress_default = "false" if local_master else "true"
     builder = (
         SparkSession.builder.master(master)

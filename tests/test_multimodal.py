@@ -473,3 +473,37 @@ def test_media_fixture_features_match_source_arrays(spark):
                  extract_image_features(media), max_hamming=2
              ).collect()}
     assert pairs == {(i, i + 1) for i in range(0, 48, 2)}
+
+
+def test_jpeg_truncation_raises_contract_errors():
+    """Every byte-truncation point of both stream kinds must raise the
+    module's documented error classes (ValueError/NotImplementedError),
+    never IndexError/struct.error escaping from a Spark task."""
+    import numpy as np
+
+    from bloom_filters_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = (np.mgrid[0:16, 0:24][0] * 7 % 256).astype(np.uint8)
+    for enc in (encode_jpeg_progressive(img), encode_jpeg(img)):
+        for cut in range(2, len(enc), 3):
+            try:
+                decode_jpeg(enc[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            # a short cut may still decode (e.g. only EOI missing)
+
+
+def test_decode_image_strict_requires_use_pillow():
+    import numpy as np
+    import pytest as _pytest
+
+    from bloom_filters_spark.functions.jpeg import encode_jpeg
+    from bloom_filters_spark.functions.multimodal import decode_image
+
+    img = (np.mgrid[0:8, 0:8][0] * 9 % 256).astype(np.uint8)
+    with _pytest.raises(ValueError, match="use_pillow"):
+        decode_image(encode_jpeg(img), strict=True)

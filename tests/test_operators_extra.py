@@ -674,3 +674,17 @@ def test_pq_cosine_topk_planted_and_deterministic(spark):
         train_pq_codebooks(items, m=7)
     with pytest.raises(ValueError, match="ks"):
         train_pq_codebooks(items.limit(4), m=8, ks=16, sample_size=4)
+
+
+def test_topk_exact_null_frequency_ties(spark):
+    """NULL values in frequency ties must still get distinct ranks
+    1..k (NULLS FIRST within a tie, matching the sort order)."""
+    from bloom_filters_spark.operators.sketch_agg import topk_exact
+
+    df = spark.createDataFrame(
+        [(x,) for x in [None, None, "a", "a", "b"]], "v string"
+    )
+    rows = sorted(topk_exact(df, "v", 3).collect(), key=lambda r: r["rank"])
+    assert [(r["value"], r["frequency"], r["rank"]) for r in rows] == [
+        (None, 2, 1), ("a", 2, 2), ("b", 1, 3)
+    ]
