@@ -137,6 +137,35 @@ wins.  The storage format is a config switch
 with the runtime jar; the generic branch is exercised with ORC in
 `tests/test_checkpoint.py`).
 """
+    md += """
+
+## Iceberg at runtime — documented negative (sandbox constraint)
+
+An actual Iceberg-catalog run is not possible in this sandbox, verified
+2026-08-18:
+
+* no Iceberg runtime jar anywhere on the machine: `find / -name
+  '*iceberg*'` → 0 hits; the PySpark distribution ships 287 jars, 0
+  matching `iceberg`;
+* no network to fetch one: `urllib.request.urlopen
+  ('https://repo1.maven.org/')` → URLError (and installs are
+  prohibited here anyway).
+
+What IS evidenced instead:
+
+* the seam is generic DataSource dispatch, not an if-parquet special
+  case (`checkpoint.py` `_write`/`_read`: `.format(table_format)
+  .save/load`), so `--conf spark.bloomFiltersSpark.checkpoint.format=
+  iceberg` is the entire cluster-side switch;
+* the non-parquet branch executes END TO END in
+  `tests/test_checkpoint.py` through the built-in ORC source —
+  checkpoint, crash, resume, identical clusters — proving the format
+  string reaches a real second DataSource at runtime;
+* Iceberg-specific semantics the protocol relies on (atomic overwrite
+  of a partition, partitioned reads) are the same calls the ORC/parquet
+  paths make (`overwrite` + `partitionBy`), which Iceberg's Spark
+  writer maps to snapshot-replace commits.
+"""
     with open("/root/repo/BENCH/CHECKPOINT.md", "w") as f:
         f.write(md)
     print("wrote BENCH/CHECKPOINT.md")
