@@ -507,3 +507,42 @@ def test_decode_image_strict_requires_use_pillow():
     img = (np.mgrid[0:8, 0:8][0] * 9 % 256).astype(np.uint8)
     with _pytest.raises(ValueError, match="use_pillow"):
         decode_image(encode_jpeg(img), strict=True)
+
+
+def test_jpeg_progressive_baseline_parity_property():
+    """Property test (hypothesis): for ANY image shape, content seed,
+    quality, and subsampling in the supported envelope, the progressive
+    and baseline encoders of the same pixels decode to the IDENTICAL
+    array — the shared-coefficient invariant, not just the pinned
+    cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bloom_filters_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        color=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        quality=st.sampled_from([30, 60, 90, 97]),
+        sub=st.sampled_from(["444", "420"]),
+    )
+    def check(h, w, color, seed, quality, sub):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        s = sub if color else "444"
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=s))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsampling=s)
+        )
+        assert base.shape == prog.shape
+        assert (base == prog).all()
+
+    check()
