@@ -34,7 +34,14 @@ def connected_components(
     (O(diameter) shuffled iterations).  Set the threshold to 0 to force
     the distributed path.
     """
-    if driver_edge_threshold > 0:
+    # the Arrow driver solve assumes int64-castable ids; any other id
+    # type (string urls, decimals) takes the type-agnostic labelprop
+    # path regardless of edge count
+    integral = all(
+        t in ("bigint", "int", "smallint", "tinyint")
+        for c, t in edges.select("id1", "id2").dtypes
+    )
+    if integral and driver_edge_threshold > 0:
         if n_edges is None:
             # cheap upper-bound probe: count() on the edge set (it is
             # about to be materialized for iteration anyway); callers
@@ -112,6 +119,7 @@ def _components_labelprop(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iter):
         # min label among each vertex's neighbors
         msgs = (
@@ -119,14 +127,28 @@ def _components_labelprop(
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min("label").alias("nbr_label"))
         )
+        relaxed = labels.join(msgs, id_col, "left").select(
+            id_col,
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: follow label -> label(label) once per
+        # iteration, so chains shortcut and convergence is
+        # O(log diameter) instead of O(diameter) — one extra join on
+        # the (narrow) label table
+        hop = relaxed.select(
+            F.col(id_col).alias("_jid"), F.col("label").alias("_jlabel")
+        )
         stepped = (
-            labels.join(msgs, id_col, "left")
+            relaxed.join(hop, relaxed["label"] == hop["_jid"], "left")
             .select(
                 id_col,
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
+                "old_label",
+                F.least(
+                    F.col("label"), F.coalesce("_jlabel", "label")
+                ).alias("label"),
             )
             .localCheckpoint()  # one materialization per iteration
         )
@@ -135,7 +157,20 @@ def _components_labelprop(
         )
         labels = stepped.select(id_col, "label")
         if not has_changes:
+            converged = True
             break
+    if not converged:
+        # with pointer jumping this needs component diameter > 2^max_iter
+        # — if it ever fires, the labels are WRONG (split components)
+        import warnings
+
+        warnings.warn(
+            f"connected_components label propagation did not converge "
+            f"within max_iter={max_iter} iterations; returned clusters "
+            f"may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     out = labels.select(id_col, F.col("label").alias("cluster_id"))
     if vertices is not None:

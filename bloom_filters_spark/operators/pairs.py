@@ -21,10 +21,22 @@ from pyspark.sql import functions as F
 
 # the band hash is seeded with the band id in every band impl, so
 # grouping by the hash alone is equivalent to (band_id, band_hash) up to
-# 64-bit collisions (which only MERGE groups — extra candidates are
-# verified downstream, so recall is unaffected).  Dropping band_id cuts
-# the widest shuffle of the pipeline by ~25%.
+# hash collisions.  A collision MERGES two groups; merged extra
+# candidates are verified downstream, so the only recall hazard is the
+# corner where a merge pushes a small genuine group past max_band_group
+# and flips it to star linking through a foreign anchor.  At 64 bits
+# that needs a random group to collide with one of the handful of hot
+# groups (~n_groups·n_hot/2^64 — negligible at any real corpus size),
+# so dropping band_id there cuts the widest shuffle of the pipeline by
+# ~25% for free; at the opt-in 32-bit width collisions are material
+# (~n²/2^33 pairs) and _band_key() keeps band_id in the group key.
 BAND_KEY = ["band_hash"]
+
+
+def _band_key(bands: DataFrame) -> list:
+    if dict(bands.dtypes).get("band_hash") == "int":  # 32-bit mode
+        return ["band_id", "band_hash"]
+    return list(BAND_KEY)
 
 
 def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
@@ -52,18 +64,23 @@ def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
     if mode == "join":
         return _candidate_pairs_join(bands, max_band_group, id_col)
 
-    slim = bands.select(*BAND_KEY, id_col)
+    key = _band_key(bands)
+    slim = bands.select(*key, id_col)
     if mode == "count_join":
         dup_hashes = (
-            slim.groupBy(*BAND_KEY)
+            slim.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("grp_n"))
             .filter(F.col("grp_n") >= 2)
-            .select(*BAND_KEY)
+            .select(*key)
         )
-        slim = slim.join(F.broadcast(dup_hashes), BAND_KEY)
+        # no forced broadcast: this mode is auto-selected exactly at
+        # corpus scales where duplicated hashes are NOT rare (30-50%
+        # web dup rates -> O(10^7+) rows); AQE broadcasts when the set
+        # is actually small and shuffles when it isn't
+        slim = slim.join(dup_hashes, key)
 
     grouped = (
-        slim.groupBy(*BAND_KEY)
+        slim.groupBy(*key)
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -96,7 +113,8 @@ def candidate_pairs(bands: DataFrame, max_band_group: int = 64,
 
 def _candidate_pairs_join(bands: DataFrame, max_band_group: int,
                           id_col: str) -> DataFrame:
-    w = Window.partitionBy(*BAND_KEY)
+    key = _band_key(bands)
+    w = Window.partitionBy(*key)
     sized = bands.withColumn("grp_n", F.count(F.lit(1)).over(w)).withColumn(
         "grp_min", F.min(id_col).over(w)
     )
@@ -104,11 +122,11 @@ def _candidate_pairs_join(bands: DataFrame, max_band_group: int,
     sized = sized.filter(F.col("grp_n") >= 2)
 
     small = sized.filter(F.col("grp_n") <= max_band_group).select(
-        *BAND_KEY, F.col(id_col)
+        *key, F.col(id_col)
     )
-    left = small.select(*BAND_KEY, F.col(id_col).alias("id1"))
-    right = small.select(*BAND_KEY, F.col(id_col).alias("id2"))
-    small_pairs = left.join(right, BAND_KEY).where(F.col("id1") < F.col("id2"))
+    left = small.select(*key, F.col(id_col).alias("id1"))
+    right = small.select(*key, F.col(id_col).alias("id2"))
+    small_pairs = left.join(right, key).where(F.col("id1") < F.col("id2"))
 
     star_pairs = (
         sized.filter(F.col("grp_n") > max_band_group)

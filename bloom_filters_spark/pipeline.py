@@ -81,9 +81,13 @@ class NearDupConfig:
     fuse_bands: bool = True
     # band-hash width on the fused path: 64 (default) or 32.  32 xor-
     # folds the hash, cutting the widest shuffle's rows 16 → 12 bytes at
-    # the price of ~n_rows²/2³³ colliding candidate groups (merged
-    # groups only ADD verify work — recall unaffected).  Measured A/B at
-    # this sandbox's scale lives in BENCH/SCALING.md.
+    # the price of ~n_rows²/2³³ colliding candidate groups.  Merged
+    # groups usually only ADD verify work; to keep a collision from
+    # pushing a small genuine group past max_band_group (star-linking
+    # through a foreign anchor = recall loss), candidate_pairs groups
+    # 32-bit bands by (band_id, band_hash) instead of the hash alone
+    # (operators/pairs.py _band_key).  Measured A/B at this sandbox's
+    # scale lives in BENCH/SCALING.md.
     band_hash_bits: int = 64
     # CMS frequent-shingle (boilerplate) pruning: shingles appearing in
     # more than this fraction of documents are dropped before MinHash —
@@ -224,6 +228,7 @@ def verified_pairs(
     sigs: DataFrame,
     cfg: NearDupConfig,
     id_col: str = "doc_id",
+    sigs_restricted: bool = False,
 ) -> DataFrame:
     """Candidate pairs → pairs with jaccard column(s), filtered at
     cfg.threshold on the decision column.
@@ -238,12 +243,18 @@ def verified_pairs(
     still strictly less data than joining the full signature table.
     """
     need_shingles = cfg.verify in ("exact", "both")
-    ids = (
-        pairs.select(F.col("id1").alias(id_col))
-        .unionByName(pairs.select(F.col("id2").alias(id_col)))
-        .distinct()
-    )
-    side = sigs.join(ids, id_col, "left_semi")
+    if sigs_restricted:
+        # caller already semi-joined sigs down to pair participants
+        # (the fused and incremental paths do) — skip the redundant
+        # distinct + semi-join over the candidate set
+        side = sigs
+    else:
+        ids = (
+            pairs.select(F.col("id1").alias(id_col))
+            .unionByName(pairs.select(F.col("id2").alias(id_col)))
+            .distinct()
+        )
+        side = sigs.join(ids, id_col, "left_semi")
     s1 = side.select(
         F.col(id_col).alias("id1"),
         F.col("signature").alias("sig1"),
@@ -461,16 +472,26 @@ def near_dup_pipeline(
     for testing/metrics.
     """
     cfg = cfg or NearDupConfig()
-    all_vertices = df.select(id_col)
+
+    # one memoized corpus count shared by the pair-mode probe and hot-
+    # shingle detection: cheap (footer stats) on a raw parquet scan, but
+    # a full plan execution once df is a derived frame (canonical-url
+    # collapse, prededup) — never pay it twice.  Late-bound `df` on
+    # purpose: both consumers run after the final rebinding of df in
+    # their path, so they see the same frame.
+    _n_docs: list = [None]
+
+    def _count():
+        if _n_docs[0] is None:
+            _n_docs[0] = df.count()
+        return _n_docs[0]
 
     def _pair_mode():
         if cfg.pair_mode != "auto":
             return cfg.pair_mode
-        # parquet row counts come from footer stats — this probe is
-        # metadata-cheap, not a scan
         return (
             "count_join"
-            if df.count() > cfg.pair_mode_threshold
+            if _count() > cfg.pair_mode_threshold
             else "grouped"
         )
 
@@ -514,6 +535,7 @@ def near_dup_pipeline(
             )
             df = df.join(rep_ids, id_col, "left_semi")
     sigs = None
+    sigs_restricted = False
     if cfg.shingle_impl == "arrow" and cfg.fuse_bands:
         # scale path: text → (doc_id, band_hash) in one Arrow stage.
         # The full-corpus signature matrix never leaves the kernel —
@@ -531,7 +553,7 @@ def near_dup_pipeline(
         hot = None
         if cfg.boilerplate_max_df is not None:
             hot = detect_hot_shingles(
-                df, df.count(), cfg.boilerplate_max_df,
+                df, _count(), cfg.boilerplate_max_df,
                 cfg.shingle_size, cfg.max_value, id_col, text_col,
             )
         bands = fused_band_rows(
@@ -564,6 +586,7 @@ def near_dup_pipeline(
             need_shingles=cfg.verify in ("exact", "both"),
             hot_shingles=hot,
         ).persist()
+        sigs_restricted = True
     else:
         sigs = signatures(df, cfg, id_col, text_col)
         if cfg.cache_signatures:
@@ -577,7 +600,9 @@ def near_dup_pipeline(
         candidates = candidate_pairs(
             bands, cfg.max_band_group, id_col, mode=_pair_mode()
         ).persist()
-    pairs = verified_pairs(candidates, sigs, cfg, id_col).persist()
+    pairs = verified_pairs(
+        candidates, sigs, cfg, id_col, sigs_restricted=sigs_restricted
+    ).persist()
     # materialize the (tiny) verified edge set once; everything upstream
     # (signatures, band shuffle) is then releasable before the iterative /
     # driver-side components stage.  At cluster scale this boundary is
@@ -621,6 +646,7 @@ def incremental_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_bands: DataFrame | None = None,
+    hot_shingles=None,
 ) -> DataFrame:
     """Candidate (id1=new, id2=corpus) pairs between a document
     increment and an existing corpus — the rolling-crawl shape: the
@@ -633,26 +659,61 @@ def incremental_candidates(
     operator is a table READ and the only kernel work is one fused
     Arrow pass over the (small) new batch.  The band equi-join touches
     corpus rows only on matched keys.  Hot (boilerplate) bands are the
-    skew risk exactly as in the self-join path: prune them upstream
-    with ``cfg.boilerplate_max_df``; residual imbalance is AQE
-    skew-join territory (plain equi-join here — no collect_list state
-    on the corpus side at all).
+    skew risk exactly as in the self-join path.
+
+    Boilerplate pruning (``cfg.boilerplate_max_df``) must use the SAME
+    hot-shingle set on both sides or band hashes stop being comparable
+    (a silent recall loss): when the corpus text is available the hot
+    set is detected on it here and applied to both sides; when a
+    checkpointed ``corpus_bands`` table replaces the corpus text, pass
+    the full run's persisted set as ``hot_shingles`` — this function
+    refuses to guess.
     """
-    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+    from bloom_filters_spark.operators.arrow_sig import (
+        detect_hot_shingles,
+        fused_band_rows,
+    )
 
     cfg = cfg or NearDupConfig()
+    hot = hot_shingles
     if corpus_bands is None:
         if corpus_docs is None:
             raise ValueError("need corpus_docs or corpus_bands")
+        if cfg.boilerplate_max_df is not None and hot is None:
+            hot = detect_hot_shingles(
+                corpus_docs, corpus_docs.count(), cfg.boilerplate_max_df,
+                cfg.shingle_size, cfg.max_value, id_col, text_col,
+            )
         corpus_bands = fused_band_rows(
             corpus_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
             cfg.shingle_size, cfg.max_value, id_col, text_col,
-            hash_bits=cfg.band_hash_bits,
+            hot_shingles=hot, hash_bits=cfg.band_hash_bits,
         )
+    else:
+        if cfg.boilerplate_max_df is not None and hot is None:
+            raise ValueError(
+                "cfg.boilerplate_max_df is set but corpus_bands is a "
+                "precomputed table and no hot_shingles were passed: the "
+                "increment would band WITHOUT the pruning the corpus "
+                "banded WITH, silently missing near-dups.  Pass the "
+                "full run's hot-shingle set (hot_shingles=...) or unset "
+                "boilerplate_max_df."
+            )
+        # a checkpointed band table must carry the SAME hash width the
+        # increment will emit: the implicit int->long cast in the join
+        # would return zero matches without an error
+        expect = "int" if cfg.band_hash_bits == 32 else "bigint"
+        actual = dict(corpus_bands.dtypes).get("band_hash")
+        if actual != expect:
+            raise ValueError(
+                f"corpus_bands.band_hash is {actual} but "
+                f"cfg.band_hash_bits={cfg.band_hash_bits} emits {expect}: "
+                "band hashes would never match across the join"
+            )
     new_bands = fused_band_rows(
         new_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
         cfg.shingle_size, cfg.max_value, id_col, text_col,
-        hash_bits=cfg.band_hash_bits,
+        hot_shingles=hot, hash_bits=cfg.band_hash_bits,
     )
     bn = new_bands.select(
         "band_id", "band_hash", F.col(id_col).alias("id1")
@@ -674,6 +735,7 @@ def near_dup_against(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_bands: DataFrame | None = None,
+    hot_shingles=None,
 ) -> DataFrame:
     """Verified near-dup pairs (id1=new, id2=corpus, jaccard) between an
     increment and an existing corpus: ``incremental_candidates`` + the
@@ -682,13 +744,37 @@ def near_dup_against(
     participants on both sides.  Ids must be disjoint across the two
     tables (they address one namespace, as in a rolling crawl).
     ``corpus_docs`` supplies participant text for the verify stage even
-    when ``corpus_bands`` short-circuits the banding."""
-    from bloom_filters_spark.operators.arrow_sig import signatures_arrow
+    when ``corpus_bands`` short-circuits the banding; ``hot_shingles``
+    forwards the full run's boilerplate set (see
+    ``incremental_candidates``) and prunes the verify-side signatures
+    identically."""
+    from bloom_filters_spark.operators.arrow_sig import (
+        detect_hot_shingles,
+        signatures_arrow,
+    )
 
     cfg = cfg or NearDupConfig()
+    if (
+        cfg.boilerplate_max_df is not None
+        and hot_shingles is None
+        and corpus_bands is None
+    ):
+        # detect once HERE so banding (inside incremental_candidates)
+        # and the verify-side signatures prune with the same set
+        hot_shingles = detect_hot_shingles(
+            corpus_docs, corpus_docs.count(), cfg.boilerplate_max_df,
+            cfg.shingle_size, cfg.max_value, id_col, text_col,
+        )
+    # persist + count: the candidate set is consumed by the id union
+    # (twice), the semi-join, and the pair join inside verified_pairs —
+    # without a materializing action the persist is a no-op and the
+    # band join would re-execute for each of them.  The count also
+    # gates the broadcast exactly like near_dup_pipeline does.
     cands = incremental_candidates(
-        new_docs, corpus_docs, cfg, id_col, text_col, corpus_bands
+        new_docs, corpus_docs, cfg, id_col, text_col, corpus_bands,
+        hot_shingles,
     ).persist()
+    n_cands = cands.count()
     participants = new_docs.select(id_col, text_col).unionByName(
         corpus_docs.select(id_col, text_col)
     )
@@ -697,13 +783,14 @@ def near_dup_against(
         .unionByName(cands.select(F.col("id2").alias(id_col)))
         .distinct()
     )
-    participants = participants.join(F.broadcast(ids), id_col, "left_semi")
+    if n_cands < 25_000_000:
+        ids = F.broadcast(ids)
+    participants = participants.join(ids, id_col, "left_semi")
     sigs = signatures_arrow(
         participants, cfg.factory(),
         shingle_size=cfg.shingle_size, max_value=cfg.max_value,
         id_col=id_col, text_col=text_col,
         need_shingles=cfg.verify in ("exact", "both"),
+        hot_shingles=hot_shingles,
     )
-    out = verified_pairs(cands, sigs, cfg, id_col)
-    cands.unpersist()
-    return out
+    return verified_pairs(cands, sigs, cfg, id_col, sigs_restricted=True)

@@ -65,3 +65,42 @@ def test_isolated_vertices_join(spark, edge_df):
         connected_components(edges, vertices=verts, driver_edge_threshold=0)
     )
     assert out2 == out
+
+
+def test_labelprop_long_chain_converges_with_pointer_jumping(spark):
+    """A 120-node chain has diameter 119; plain one-hop hash-min needs
+    119 iterations, pointer jumping needs ~log2 — must converge (one
+    cluster, min label) well inside max_iter=12 with no warning."""
+    import warnings
+
+    from bloom_filters_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id1 long, id2 long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning = fail
+        out = connected_components(
+            edges, max_iter=12, driver_edge_threshold=0
+        ).collect()
+    assert len(out) == 120
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_connected_components_string_ids_fall_back(spark):
+    """String doc ids can't take the int64 Arrow driver solve — they
+    must route to label propagation instead of crashing."""
+    from bloom_filters_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("u-a", "u-b"), ("u-b", "u-c"), ("u-x", "u-y")],
+        "id1 string, id2 string",
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert out == {"u-a": "u-a", "u-b": "u-a", "u-c": "u-a",
+                   "u-x": "u-x", "u-y": "u-x"}

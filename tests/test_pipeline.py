@@ -526,3 +526,81 @@ def test_near_dup_against_increment(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_incremental_boilerplate_pruning_consistent(spark):
+    """cfg.boilerplate_max_df on the incremental path: hot shingles are
+    detected on the corpus and applied to BOTH sides, so a corpus doc
+    and its near-copy increment still pair despite shared boilerplate;
+    a checkpointed band table without the hot set refuses to run."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import (
+        NearDupConfig,
+        incremental_candidates,
+        near_dup_against,
+    )
+    from bloom_filters_spark.sources.pages import (
+        PAGES_SCHEMA,
+        generate_pages_pdf,
+    )
+
+    boiler = "accept cookies subscribe newsletter follow us " * 2
+    corpus_pdf = generate_pages_pdf(np.arange(0, 200, 2), seed=3)
+    corpus_pdf["text"] = boiler + corpus_pdf["text"]
+    inc_pdf = generate_pages_pdf(np.arange(1, 201, 2), seed=3)
+    inc_pdf["text"] = boiler + inc_pdf["text"]
+    corpus = spark.createDataFrame(corpus_pdf, PAGES_SCHEMA).select(
+        "doc_id", "text"
+    )
+    inc = spark.createDataFrame(inc_pdf, PAGES_SCHEMA).select(
+        "doc_id", "text"
+    )
+    cfg = NearDupConfig(threshold=0.8, boilerplate_max_df=0.5)
+    got = {
+        (r["id1"], r["id2"])
+        for r in near_dup_against(inc, corpus, cfg).collect()
+    }
+    assert len(got) > 0
+    for id1, id2 in got:
+        assert abs(id1 - id2) == 1  # only planted (2k, 2k+1) pairs
+
+    # precomputed corpus bands + boilerplate_max_df but no hot set: loud
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+
+    bands = fused_band_rows(
+        corpus, cfg.factory(), cfg.bands, cfg.rows_per_band,
+        cfg.shingle_size, cfg.max_value,
+    )
+    with pytest.raises(ValueError, match="hot_shingles"):
+        incremental_candidates(inc, None, cfg, corpus_bands=bands)
+
+
+def test_incremental_band_width_mismatch_raises(spark):
+    """A checkpointed 64-bit band table joined by a 32-bit increment
+    config would silently match nothing — must raise instead."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import (
+        NearDupConfig,
+        incremental_candidates,
+    )
+    from bloom_filters_spark.operators.arrow_sig import fused_band_rows
+    from bloom_filters_spark.sources.pages import (
+        PAGES_SCHEMA,
+        generate_pages_pdf,
+    )
+
+    docs = spark.createDataFrame(
+        generate_pages_pdf(np.arange(40), seed=5), PAGES_SCHEMA
+    ).select("doc_id", "text")
+    cfg64 = NearDupConfig()
+    bands64 = fused_band_rows(
+        docs, cfg64.factory(), cfg64.bands, cfg64.rows_per_band,
+        cfg64.shingle_size, cfg64.max_value,
+    )
+    with pytest.raises(ValueError, match="band_hash"):
+        incremental_candidates(
+            docs, None, NearDupConfig(band_hash_bits=32),
+            corpus_bands=bands64,
+        )
