@@ -1338,7 +1338,20 @@ def q_set_reconcile_customers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver samples the FIRST 50 keys for its
+    # CORRECTNESS artifact.  Entries that have never (or not recently)
+    # received a driver row lead; long-green entries trail.
     return {
+        "token_budget_select": q_token_budget_select,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "c4_quality_flags": q_c4_quality_flags,
+        "dsir_scores": q_dsir_scores,
+        "corpus_report": q_corpus_report,
+        "semantic_dedup": q_semantic_dedup,
+        "hash_split": q_hash_split,
+        "rare_trigram_score": q_rare_trigram_score,
+        "latest_revision": q_latest_revision,
+        "domain_blocklist": q_domain_blocklist,
         "near_dup_clusters": q_near_dup_clusters,
         "pages_near_dup_urls": q_pages_near_dup_urls,
         "near_dup_pairs_exact": q_near_dup_pairs_exact,
@@ -1389,16 +1402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
         "domain_cap": q_domain_cap,
-        "token_budget_select": q_token_budget_select,
-        "gopher_quality_flags": q_gopher_quality_flags,
-        "c4_quality_flags": q_c4_quality_flags,
-        "dsir_scores": q_dsir_scores,
-        "corpus_report": q_corpus_report,
-        "semantic_dedup": q_semantic_dedup,
-        "hash_split": q_hash_split,
-        "rare_trigram_score": q_rare_trigram_score,
-        "latest_revision": q_latest_revision,
-        "domain_blocklist": q_domain_blocklist,
     }
 
 
