@@ -240,6 +240,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker id — skip them so externally-encoded payloads
+        # with fill padding parse (our encoder never emits any).
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 1 >= n:
+                raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -454,6 +461,19 @@ def _decode_progressive_scan(data, pos, frame, prog, scan, ss, se, ah, al,
                              huff_dc, huff_ac, restart_interval):
     """Decode one progressive scan into prog['coefs']; returns the bit
     reader (its position feeds _resync_to_marker)."""
+    # T.81 Table B.3 scan-header bounds: a DC scan is Ss=Se=0, an AC
+    # scan is 1<=Ss<=Se<=63; successive-approximation refinements must
+    # step one bit (Ah == Al+1) with Al within the 8-bit-sample range.
+    # Reject violations instead of mis-decoding (honest-error policy).
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se == 0")
+    elif not ss <= se <= 63:
+        raise ValueError("progressive AC scan requires Ss <= Se <= 63")
+    if not 0 <= al <= 13:
+        raise ValueError("progressive scan Al out of range")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation requires Ah == Al+1")
     reader = _BitReader(data, pos)
     coefs = prog["coefs"]
     eobrun = 0

@@ -540,4 +540,10 @@ def token_budget_select(
             .drop("_h", "_sb", "_cum")
         )
         boundary = below.unionByName(edge)
+    # materialize the kept boundary rows (<= the bucket: the residual-
+    # budget prefix) so the full bucket cache can be released now
+    # rather than lingering until LRU eviction in a long session
+    boundary = boundary.persist()
+    boundary.count()
+    b.unpersist()
     return boundary if kept_full is None else kept_full.unionByName(boundary)

@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sql_type(df: DataFrame, col: str) -> str:
+    """Spark SQL type string of ``col`` — mapInArrow output schemas
+    derive id/vector field types from the input instead of hardcoding
+    ``long``, so int32/string ids survive the Arrow round-trip."""
+    return dict(df.dtypes)[col]
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -103,6 +110,10 @@ def mutual_nn_pairs(
     ``impl="driver"`` (test oracle): the original collect + closure
     broadcast variant — O(n·dim) on the driver, kept to cross-check the
     block path in pytest.
+
+    Requires bigint ids: the tile kernels use an int64 sentinel for the
+    smallest-id tie-break (the LSH/IVF/PQ/SemDeDup paths derive their id
+    type from the input and accept int32/string ids).
     """
     if impl == "driver":
         nn = _exact_nn_driver(items, id_col, vec_col)
@@ -310,10 +321,12 @@ def lsh_cosine_topk(
                     names=[idc, vec_col, "table_id", "bucket"],
                 )
 
-        vec_type = dict(df.dtypes)[vec_col]
+        vec_type = _sql_type(df, vec_col)
+        id_type = _sql_type(df, idc)
         return df.select(idc, vec_col).mapInArrow(
             compute,
-            f"{idc} long, {vec_col} {vec_type}, table_id int, bucket long",
+            f"{idc} {id_type}, {vec_col} {vec_type},"
+            " table_id int, bucket long",
         )
 
     bi = bucketed(items, id_col)
@@ -468,10 +481,11 @@ def ivf_cosine_topk(
                     names=[idc, vec_col, "centroid_id"],
                 )
 
-        vec_type = dict(df.dtypes)[vec_col]
+        vec_type = _sql_type(df, vec_col)
+        id_type = _sql_type(df, idc)
         return df.select(idc, vec_col).mapInArrow(
             compute,
-            f"{idc} long, {vec_col} {vec_type}, centroid_id int",
+            f"{idc} {id_type}, {vec_col} {vec_type}, centroid_id int",
         )
 
     bi = assigned(items, id_col, 1)
@@ -554,9 +568,11 @@ def semantic_dedup(
                     names=[id_col, vec_col, "cluster_id"],
                 )
 
-        vec_type = dict(items.dtypes)[vec_col]
+        vec_type = _sql_type(items, vec_col)
+        id_type = _sql_type(items, id_col)
         assigned = items.select(id_col, vec_col).mapInArrow(
-            compute, f"{id_col} long, {vec_col} {vec_type}, cluster_id int"
+            compute,
+            f"{id_col} {id_type}, {vec_col} {vec_type}, cluster_id int",
         )
     else:
         assigned = items.select(
@@ -688,7 +704,15 @@ def pq_cosine_topk(
     qrows = sorted(
         queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
     )
+    q_id_type = _sql_type(queries, query_id_col)
+    i_id_type = _sql_type(items, id_col)
+    # coerce the collected query ids to the exact width the declared
+    # Arrow schema expects (np.array defaults to int64 for python ints)
+    np_id = {"tinyint": np.int8, "smallint": np.int16,
+             "int": np.int32, "bigint": np.int64}
     qids = np.array([r[0] for r in qrows])
+    if q_id_type in np_id:
+        qids = qids.astype(np_id[q_id_type])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(qmat, axis=1)
     qn[qn == 0] = 1.0
@@ -744,7 +768,8 @@ def pq_cosine_topk(
             )
 
     cands = items.select(id_col, vec_col).mapInArrow(
-        compute, f"{query_id_col} long, {id_col} long, _approx double"
+        compute,
+        f"{query_id_col} {q_id_type}, {id_col} {i_id_type}, _approx double",
     )
     wa = Window.partitionBy(query_id_col).orderBy(
         F.desc("_approx"), F.asc(id_col)

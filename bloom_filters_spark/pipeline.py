@@ -793,4 +793,12 @@ def near_dup_against(
         need_shingles=cfg.verify in ("exact", "both"),
         hot_shingles=hot_shingles,
     )
-    return verified_pairs(cands, sigs, cfg, id_col, sigs_restricted=True)
+    # materialize the (tiny) verified edge set so the candidate cache —
+    # the big intermediate — is released here instead of lingering
+    # until LRU eviction in a long-lived session
+    out = verified_pairs(
+        cands, sigs, cfg, id_col, sigs_restricted=True
+    ).persist()
+    out.count()
+    cands.unpersist()
+    return out

@@ -546,3 +546,59 @@ def test_jpeg_progressive_baseline_parity_property():
         assert (base == prog).all()
 
     check()
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Our encoder never emits them; externally-encoded payloads may — the
+    decoder must skip them and produce identical pixels."""
+    from bloom_filters_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.mgrid[0:24, 0:16][0] * 11 % 256).astype(np.uint8)
+    enc = encode_jpeg(img, quality=85)
+    want = decode_jpeg(enc)
+
+    # fill bytes right after SOI (before the first header marker)
+    padded = enc[:2] + b"\xff" * 3 + enc[2:]
+    assert (decode_jpeg(padded) == want).all()
+
+    # fill bytes before EVERY header marker up to (and including) SOS
+    out = bytearray(enc[:2])
+    pos = 2
+    while pos + 1 < len(enc):
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        out += b"\xff\xff" + enc[pos:pos + 2]
+        if marker == 0xDA:  # SOS: entropy data follows, copy the rest
+            out += enc[pos + 2:]
+            break
+        seg_len = struct.unpack(">H", enc[pos + 2:pos + 4])[0]
+        out += enc[pos + 2:pos + 2 + seg_len]
+        pos += 2 + seg_len
+    assert (decode_jpeg(bytes(out)) == want).all()
+
+    # fill bytes running to EOF are still an error, not an IndexError
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:2] + b"\xff" * 8)
+
+
+def test_progressive_scan_header_bounds_rejected():
+    """T.81 Table B.3 scan-header bounds raise ValueError instead of
+    silently mis-decoding (DC scan must have Se=0; AC needs
+    Ss<=Se<=63; refinement must step one bit with Al in range)."""
+    from bloom_filters_spark.functions.jpeg import _decode_progressive_scan
+
+    def run(ss, se, ah, al):
+        # validation fires before any state is touched, so dummies do
+        _decode_progressive_scan(
+            b"", 0, None, None, [], ss, se, ah, al, {}, {}, 0
+        )
+
+    for bad in [(0, 5, 0, 0),    # DC scan with Se != 0 (the multi-
+                                 # component silently-as-DC case)
+                (2, 1, 0, 0),    # Ss > Se
+                (1, 64, 0, 0),   # Se out of range
+                (0, 0, 0, 14),   # Al out of range
+                (1, 5, 3, 1)]:   # Ah != Al + 1
+        with pytest.raises(ValueError):
+            run(*bad)

@@ -688,3 +688,80 @@ def test_topk_exact_null_frequency_ties(spark):
     assert [(r["value"], r["frequency"], r["rank"]) for r in rows] == [
         (None, 2, 1), ("a", 2, 2), ("b", 1, 3)
     ]
+
+
+def test_similarity_id_types_survive_arrow_schemas(spark):
+    """The mapInArrow output schemas derive the id field type from the
+    input (they used to hardcode bigint): int32 and string ids must
+    work end-to-end in semantic_dedup, pq_cosine_topk, and the
+    LSH/IVF bucketing, with results equal to the bigint run modulo the
+    id mapping."""
+    from bloom_filters_spark.operators.similarity import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        pq_cosine_topk,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    base = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    base.append((1000, base[5][1]))  # exact dup of id 5
+    long_df = spark.createDataFrame(
+        base, "vec_id long, embedding array<double>"
+    )
+
+    def remap(df, typ):
+        if typ == "int":
+            return df.withColumn("vec_id", F.col("vec_id").cast("int"))
+        return df.withColumn(
+            "vec_id", F.format_string("doc-%04d", F.col("vec_id"))
+        )
+
+    sd_long = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            long_df, eps=0.05, n_centroids=3, sample_size=61, seed=5
+        ).collect()
+    }
+    assert sd_long[5][1] and not sd_long[1000][1]
+    for typ, key in [("int", lambda i: i),
+                     ("string", lambda i: f"doc-{i:04d}")]:
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["keep"])
+            for r in semantic_dedup(
+                remap(long_df, typ), eps=0.05, n_centroids=3,
+                sample_size=61, seed=5,
+            ).collect()
+        }
+        assert got == {key(i): v for i, v in sd_long.items()}
+
+    queries = long_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = long_df.filter(F.col("vec_id") >= 3)
+    kw = dict(k=5, m=8, ks=8, sample_size=58, seed=3)
+    pq_long = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in pq_cosine_topk(items, queries, **kw).collect()
+    )
+    assert pq_long
+    for typ, key in [("int", lambda i: i),
+                     ("string", lambda i: f"doc-{i:04d}")]:
+        it = remap(items, typ)
+        qt = remap(
+            queries.withColumnRenamed("query_id", "vec_id"), typ
+        ).withColumnRenamed("vec_id", "query_id")
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in pq_cosine_topk(it, qt, **kw).collect()
+        )
+        # string ordering differs from numeric ordering only in the
+        # tie-break; these vectors have no score ties, so ranks map 1:1
+        assert got == sorted((key(q), key(v), rk) for q, v, rk in pq_long)
+        # LSH and IVF paths accept the same ids (smoke: runs + nonempty)
+        assert lsh_cosine_topk(
+            it, qt, k=3, n_tables=4, n_planes=8, dim=16, seed=7
+        ).count() > 0
+        assert ivf_cosine_topk(
+            it, qt, k=3, n_centroids=3, nprobe=3, sample_size=61, seed=7
+        ).count() > 0
