@@ -20,11 +20,11 @@ driver-side; the batch engine prefers Bloom/exact joins for pruning.
 from __future__ import annotations
 
 import math
-import random as _random
 
 import numpy as np
 
 from bloom_filters_spark.hashing import DEFAULT_SEED, xxh64, xxh64_u64
+from bloom_filters_spark.seedrandom_rng import SeedRandom
 from bloom_filters_spark.sketches.base import SketchBase, export_bigint, import_bigint
 
 MASK64 = (1 << 64) - 1
@@ -45,7 +45,10 @@ class CuckooFilter(SketchBase):
         self.max_kicks = max_kicks
         self.buckets: list[list] = [[] for _ in range(size)]
         self.length = 0
-        self._rng = _random.Random(seed)
+        # reference: BaseFilter seeds `seedrandom(`${seed}`)` and draws
+        # kick randomness from it (base-filter.ts:18, cuckoo-filter.ts:
+        # 191-198) — same stream here, so kick sequences are bit-parity
+        self._rng = SeedRandom(seed)
 
     @classmethod
     def create(cls, capacity: int, error_rate: float, bucket_size: int = 4,
@@ -135,7 +138,7 @@ class CuckooFilter(SketchBase):
         moved_fp = fp
         log = []
         for _ in range(self.max_kicks):
-            slot = self._rng.randrange(len(self.buckets[index]))
+            slot = self._rng.random_int(0, len(self.buckets[index]) - 1)
             log.append((index, slot, self.buckets[index][slot]))
             moved_fp, self.buckets[index][slot] = self.buckets[index][slot], moved_fp
             index = (index ^ xxh64(moved_fp, self.seed)) % self.size

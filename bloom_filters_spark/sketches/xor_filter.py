@@ -5,7 +5,10 @@ Semantics match the reference ``XorFilter``
 ``round3(ceil(1.23*n) + 32)`` fingerprints split into 3 blocks; probe
 slots ``(h >> 21*i) mod blockLength + i*blockLength``; fingerprint
 ``asUintN(bits, h ^ (h >> 32))``; build via the standard peeling
-algorithm, re-seeding from a deterministic PRNG until acyclic.
+algorithm, re-seeding until acyclic through the reference's exact
+seedrandom retry chain (``seedrandom_rng.py``) — same build seeds,
+same final table, and the exported JSON matches ``ExportedXorFilter``
+field-for-field.
 
 Hashing: byte-parity XXH3-64 (``xor-filter.ts:138-140`` hashes with
 ``@node-rs/xxhash`` ``xxh3.xxh64(element, seed)``; our ``xxh3`` module
@@ -129,9 +132,18 @@ class XorFilter(SketchBase):
     def _create(self, elements):
         n = self.size
         table_len = len(self.filter)
-        rng = np.random.default_rng(self.seed)
+        # Reference retry chain (xor-filter.ts:159-165): `this.seed = 0n`,
+        # then each attempt draws ONE int32 from seedrandom(str(seed))
+        # and re-seeds with it — the build-seed sequence is a fixed
+        # universal chain starting from "0", independent of the ctor
+        # seed.  Bit-parity: a reference build of the same items lands
+        # on the identical seed and therefore the identical table.
+        from bloom_filters_spark.seedrandom_rng import SeedRandom
+
+        build_seed = 0
         while True:
-            self._build_seed = int(rng.integers(0, 2**31))
+            build_seed = SeedRandom(build_seed).int32()
+            self._build_seed = build_seed
             t2count = np.zeros(table_len, dtype=np.int64)
             t2 = np.zeros(table_len, dtype=object)
             t2[:] = 0
@@ -186,19 +198,27 @@ class XorFilter(SketchBase):
             self.filter[change] = np.uint64(x & mask)
 
     def to_json_obj(self) -> dict:
+        # ExportedXorFilter shape (xor-filter.ts:8-14): `_seed` is the
+        # successful BUILD seed — after `_create`, the reference's
+        # `this._seed` IS the build seed (the ctor seed is overwritten)
         return {
             "_size": self.size,
             "_bits": self.bits,
             "_blockLength": self.block_length,
-            "_filter": [str(int(v)) for v in self.filter],
-            "_buildSeed": self._build_seed,
-            "_seed": export_bigint(self.seed),
+            "_filter": [export_bigint(int(v)) for v in self.filter],
+            "_seed": export_bigint(self._build_seed),
         }
 
     @classmethod
     def from_json_obj(cls, obj: dict) -> "XorFilter":
-        f = cls(obj["_size"], obj["_bits"], import_bigint(obj["_seed"]))
+        build_seed = import_bigint(
+            obj.get("_buildSeed", obj["_seed"])  # legacy round-4 JSON
+        )
+        f = cls(obj["_size"], obj["_bits"], build_seed)
         f.block_length = obj["_blockLength"]
-        f.filter = np.array([int(v) for v in obj["_filter"]], dtype=np.uint64)
-        f._build_seed = obj["_buildSeed"]
+        f.filter = np.array(
+            [import_bigint(v) & MASK64 for v in obj["_filter"]],
+            dtype=np.uint64,
+        )
+        f._build_seed = build_seed
         return f

