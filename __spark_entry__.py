@@ -310,6 +310,26 @@ def q_media_image_features(spark, sf_dir):
     )
 
 
+def q_media_video_frame_dups(spark, sf_dir):
+    """REAL video near-dup: MJPEG-AVI fixture videos (sources/media.py
+    ``video_table``) → RIFF walk + in-repo JPEG decode of every 500ms
+    sampled frame (functions/avi.py) → frame-aligned phash pigeonhole
+    join (functions/multimodal.py ``near_dup_videos``).  Odd fixture
+    ids are per-frame near-copies of id-1; at max_hamming=2 exactly the
+    planted pairs survive with all 4 sampled frames matching (closest
+    non-planted pair sits at hamming 5).  Pinned-fixture oracle,
+    contract shape (b): the output is a pure deterministic function of
+    the fixture seed."""
+    from bloom_filters_spark.functions.multimodal import (
+        near_dup_videos,
+        sample_video_frames,
+    )
+    from bloom_filters_spark.sources.media import video_table
+
+    frames = sample_video_frames(video_table(spark), every_ms=500)
+    return near_dup_videos(frames, max_hamming=2)
+
+
 def q_media_phash_dups(spark, sf_dir):
     """Perceptual-hash near-dup pairs over decoded media — the 4-block
     pigeonhole equi-join (same shape as SimHash text dedup).  Planted
@@ -1352,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_trigram_score": q_rare_trigram_score,
         "latest_revision": q_latest_revision,
         "domain_blocklist": q_domain_blocklist,
+        "media_video_frame_dups": q_media_video_frame_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "pages_near_dup_urls": q_pages_near_dup_urls,
         "near_dup_pairs_exact": q_near_dup_pairs_exact,
@@ -1741,6 +1762,23 @@ def oracle_sql() -> dict[str, str]:
             (44, 45, 0),
             (46, 47, 1)
           ) AS t(id1, id2, hamming)
+        """,
+        # real MJPEG-AVI decode (RIFF walk + in-repo JPEG decoder) of
+        # the seeded video fixture — pinned-fixture oracle like the
+        # image rows; pytest cross-validates the sampled frame phashes
+        # against the PRE-ENCODE source arrays
+        "media_video_frame_dups": """
+          SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                 CAST(n_frames_matched AS BIGINT) AS n_frames_matched,
+                 CAST(max_hamming AS INTEGER) AS max_hamming
+          FROM (VALUES
+            (0, 1, 4, 1),
+            (2, 3, 4, 1),
+            (4, 5, 4, 1),
+            (6, 7, 4, 1),
+            (8, 9, 4, 2),
+            (10, 11, 4, 1)
+          ) AS t(id1, id2, n_frames_matched, max_hamming)
         """,
         # SimHash is a pure deterministic function of the text (seeded
         # xxh64 gram hashes + bit votes — not recomputable in SQL), so

@@ -7,16 +7,18 @@ everything here is stdlib + numpy):
 * **PNG** — REAL decoder: zlib inflate + full scanline unfiltering
   (None/Sub/Up/Average/Paeth), 8-bit gray/gray+alpha/RGB/RGBA/palette,
   non-interlaced.  A matching encoder exists for tests and fixtures.
-* **JPEG** — REAL baseline decoder (functions/jpeg.py, from the public
-  ITU-T T.81 spec): sequential DCT, Huffman, gray/4:4:4/4:2:2/4:2:0,
-  restart markers — validated against real libjpeg-produced files.
-  Progressive raises (``use_pillow=True`` seam covers it where the
-  wheel exists).  A baseline encoder exists for fixtures.
+* **JPEG** — REAL decoder (functions/jpeg.py, from the public ITU-T
+  T.81 spec): baseline sequential AND progressive (SOF2) DCT, Huffman,
+  gray/4:4:4/4:2:2/4:2:0, restart markers — validated against real
+  libjpeg-produced files.  Encoders for both stream kinds exist for
+  fixtures.
 * **WAV** — REAL decoder: RIFF parse, PCM 8/16-bit, any channel count.
-* Video codecs — genuinely need ffmpeg; those paths raise
-  ``NotImplementedError`` unless ``fake_decode=True``, which
-  substitutes a deterministic payload-derived pseudo-image so the
-  distributed plumbing can still be exercised end-to-end.
+* **Video** — REAL MJPEG-in-AVI path (functions/avi.py): a pure-stdlib
+  RIFF chunk walk yields per-frame JPEG streams for the in-repo JPEG
+  decoder; ``sample_video_frames`` decodes only the sampled frames.
+  Other codecs genuinely need ffmpeg and raise ``NotImplementedError``
+  (honest-error policy).  ``fake_decode`` survives ONLY as
+  ``decode_image``'s documented plumbing double for webp/gif tests.
 
 At 100TB scale the pattern is: keep payloads in their own parquet/
 Iceberg column chunk (never project them unless needed — column pruning
@@ -369,36 +371,46 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000,
-                        fake_decode: bool = False) -> DataFrame:
-    """Frame sampling plumbing: one media row fans out to N frame rows.
-    The decoder stub treats each ``every_ms`` slice of payload bytes as
-    one 'frame'."""
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: one media row fans out to one frame
+    row per ``every_ms`` of timeline.  Payloads are MJPEG AVIs — the
+    RIFF walk (``functions/avi.py``) yields per-frame JPEG chunks, the
+    in-repo JPEG decoder (``functions/jpeg.py``) decodes ONLY the
+    sampled frames (a 1-fps sample of a 30-fps stream touches 1/30 of
+    the entropy data), and each sampled frame contributes its
+    perceptual hash.  ``frame_idx`` is the source frame index, so
+    same-rate near-copy videos align positionally.  Non-AVI payloads
+    raise ValueError, non-MJPEG AVIs NotImplementedError — the
+    honest-error policy; no fake-decode path remains."""
+    from bloom_filters_spark.functions.avi import (
+        decode_avi_frame,
+        decode_avi_mjpeg,
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for media_id, payload, duration in zip(
-                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
-            ):
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "video decoding requires ffmpeg, not available offline"
-                    )
-                n_frames = max(int(duration or 0) // every_ms, 1)
-                payload = bytes(payload)
-                step = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
-                    img = _fake_decode(payload[i * step : (i + 1) * step + 3072])
-                    rows.append(
-                        {"media_id": media_id, "frame_idx": i,
-                         "frame_phash": _phash(img)}
-                    )
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta, frames = decode_avi_mjpeg(bytes(payload))
+                fps = meta["fps"] or 1.0
+                duration_ms = len(frames) * 1000.0 / fps
+                ts = 0.0
+                seen = set()
+                while ts < duration_ms:
+                    idx = min(int(ts * fps / 1000.0), len(frames) - 1)
+                    if idx not in seen:
+                        seen.add(idx)
+                        img = decode_avi_frame(frames[idx])
+                        rows.append(
+                            {"media_id": media_id, "frame_idx": idx,
+                             "frame_phash": _phash(img)}
+                        )
+                    ts += every_ms
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=["media_id", "frame_idx", "frame_phash"]
             )
 
-    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+    return media.select("media_id", "payload").mapInPandas(
         sample, FRAME_SAMPLE_SCHEMA
     )
 
@@ -427,4 +439,67 @@ def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
         .select("id1", "id2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
+    )
+
+
+def near_dup_videos(frames: DataFrame, max_hamming: int = 4,
+                    min_frame_fraction: float = 1.0) -> DataFrame:
+    """Near-duplicate video pairs from sampled frames: the image
+    pigeonhole join, frame-aligned — candidates must share a 16-bit
+    phash block AT THE SAME frame index, so two videos only pair
+    through positionally-matching content.  A pair survives when at
+    least ``min_frame_fraction`` of the smaller video's sampled frames
+    match within ``max_hamming``.  Output: (id1, id2, n_frames_matched,
+    max_hamming) per surviving pair.
+
+    Scale shape: the join key is (frame_idx, block_id, block_val) — the
+    same bucketed equi-join as SimHash/near_dup_images, never all-pairs
+    across the corpus."""
+    blocks = frames.select(
+        "media_id", "frame_idx", "frame_phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(
+                    F.col("frame_phash"), b * 16
+                ).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("block_id", "block_val"),
+    )
+    a = blocks.select(
+        "frame_idx", "block_id", "block_val",
+        F.col("media_id").alias("id1"), F.col("frame_phash").alias("p1"),
+    )
+    b = blocks.select(
+        "frame_idx", "block_id", "block_val",
+        F.col("media_id").alias("id2"), F.col("frame_phash").alias("p2"),
+    )
+    hamming = F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
+    frame_matches = (
+        a.join(b, ["frame_idx", "block_id", "block_val"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "frame_idx", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2", "frame_idx"])
+    )
+    counts = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("_nf")
+    )
+    # per-side frame counts attach via two equi-joins on the (already
+    # aggregated, tiny) pair set — never a videos x videos product
+    return (
+        frame_matches.groupBy("id1", "id2")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_matched"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .join(counts.select(F.col("media_id").alias("id1"),
+                            F.col("_nf").alias("_n1")), "id1")
+        .join(counts.select(F.col("media_id").alias("id2"),
+                            F.col("_nf").alias("_n2")), "id2")
+        .filter(
+            F.col("n_frames_matched")
+            >= F.ceil(F.least("_n1", "_n2") * F.lit(min_frame_fraction))
+        )
+        .select("id1", "id2", "n_frames_matched", "max_hamming")
     )

@@ -92,3 +92,75 @@ def source_images(n: int = 48, seed: int = 13, size: int = 32):
     ground truth pytest validates decoded features against (never goes
     through the decoders)."""
     return {i: img for i, img, _ in _source_arrays(n, seed, size)}
+
+
+# ---------------------------------------------------------------------------
+# video fixture (MJPEG-in-AVI)
+# ---------------------------------------------------------------------------
+
+VIDEO_TABLE_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+
+def _video_source_frames(n: int, seed: int, size: int, n_frames: int):
+    """Yield (media_id, [frame arrays]): even ids originals, odd ids
+    near-copies of ``id-1`` (every frame perturbed in a few pixels —
+    phash-close, not byte-identical).  Frames are smooth moving
+    gradients so the JPEG roundtrip stays faithful."""
+    for i in range(n):
+        rng = np.random.default_rng(seed + (i // 2))
+        fx, fy = int(rng.integers(2, 7)), int(rng.integers(1, 5))
+        phase = float(rng.uniform(0, 50))
+        frames = []
+        for t in range(n_frames):
+            yy, xx = np.mgrid[0:size, 0:size]
+            img = np.stack([
+                (xx * fx + yy * fy + t * 16) % 256,
+                (128 + 110 * np.sin((xx + t * 3 + phase) / 7)) % 256,
+                (yy * fx + t * 8) % 256,
+            ], axis=-1).astype(np.uint8)
+            if i % 2 == 1:
+                pert = np.random.default_rng(seed * 31 + i * 101 + t)
+                for _ in range(4):
+                    y, x = pert.integers(0, size, 2)
+                    img[y, x] = pert.integers(0, 256, 3)
+            frames.append(img)
+        yield i, frames
+
+
+def generate_video_pdf(n: int = 12, seed: int = 29, size: int = 32,
+                       n_frames: int = 8, fps: int = 4) -> pd.DataFrame:
+    from bloom_filters_spark.functions.avi import encode_avi_mjpeg
+
+    rows = []
+    for i, frames in _video_source_frames(n, seed, size, n_frames):
+        rows.append({
+            "media_id": i,
+            "kind": "video",
+            "mime": "video/x-msvideo",
+            "payload": encode_avi_mjpeg(frames, fps=fps, quality=92),
+            "width": size,
+            "height": size,
+            "duration_ms": n_frames * 1000 // fps,
+        })
+    return pd.DataFrame(rows)
+
+
+def video_table(spark: SparkSession, n: int = 12, seed: int = 29,
+                size: int = 32, n_frames: int = 8,
+                fps: int = 4) -> DataFrame:
+    """Deterministic MJPEG-AVI fixture — same pinned-oracle contract as
+    ``media_table``: payload bytes are a pure function of the seed."""
+    return spark.createDataFrame(
+        generate_video_pdf(n, seed, size, n_frames, fps),
+        VIDEO_TABLE_SCHEMA,
+    )
+
+
+def source_video_frames(n: int = 12, seed: int = 29, size: int = 32,
+                        n_frames: int = 8):
+    """PRE-ENCODE frame arrays keyed by media_id — the decoder-
+    independent ground truth for pytest."""
+    return dict(_video_source_frames(n, seed, size, n_frames))

@@ -1,6 +1,6 @@
-"""Multimodal tests: REAL PNG/WAV decoders (stdlib + numpy) plus the
-mapInPandas plumbing; the deterministic fake decoder covers formats
-that genuinely need external codecs (JPEG/video)."""
+"""Multimodal tests: REAL PNG/JPEG/WAV/MJPEG-AVI decoders (stdlib +
+numpy) plus the mapInPandas plumbing; the deterministic fake decoder
+survives only as decode_image's webp/gif plumbing double."""
 
 import io
 import struct
@@ -206,16 +206,61 @@ def test_near_dup_images_finds_planted_pair(spark, media_df):
     assert (0, 40) in pairs
 
 
-def test_video_frame_sampling(spark, media_df):
-    frames = sample_video_frames(
-        media_df.filter(F.col("kind") == "video"), every_ms=1000, fake_decode=True
+def test_video_frame_sampling(spark):
+    """REAL path: MJPEG-AVI fixture videos → one frame row per
+    every_ms, frame_idx = source frame index, phash from the decoded
+    pixels (cross-checked against the PRE-ENCODE source frames)."""
+    from bloom_filters_spark.functions.multimodal import _phash
+    from bloom_filters_spark.sources.media import (
+        source_video_frames,
+        video_table,
     )
+
+    vids = video_table(spark, n=4)  # 8 frames @ 4fps = 2000ms each
+    frames = sample_video_frames(vids, every_ms=500)
     rows = frames.collect()
     by_media = {}
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
-    assert sorted(by_media) == [50, 51]
-    assert sorted(by_media[50]) == [0, 1, 2]  # 3000ms / 1000ms
+    assert sorted(by_media) == [0, 1, 2, 3]
+    # ts 0/500/1000/1500ms at 4fps → source frames 0,2,4,6
+    assert all(sorted(v) == [0, 2, 4, 6] for v in by_media.values())
+    # decoded-frame phash matches the pre-encode source frame's phash
+    # (JPEG is lossy but the 8x8-DCT phash sees through q=92)
+    src = source_video_frames(n=4)
+    got = {(r["media_id"], r["frame_idx"]): r["frame_phash"] for r in rows}
+    for (mid, idx), ph in got.items():
+        want = _phash(src[mid][idx])
+        assert bin(ph ^ want).count("1") <= 2, (mid, idx)
+
+
+def test_video_sampling_rejects_non_avi(spark):
+    import pyspark
+
+    rows = [(1, bytearray(b"not an avi at all" * 10))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    with pytest.raises(pyspark.errors.exceptions.captured.PythonException,
+                       match="RIFF"):
+        sample_video_frames(df).collect()
+
+
+def test_near_dup_videos_planted_pairs(spark):
+    """Odd fixture ids are per-frame near-copies of id-1: exactly the
+    planted pairs survive at max_hamming=2 with every sampled frame
+    matching; the closest non-planted pair sits at hamming 5."""
+    from bloom_filters_spark.functions.multimodal import near_dup_videos
+    from bloom_filters_spark.sources.media import video_table
+
+    frames = sample_video_frames(video_table(spark), every_ms=500)
+    got = sorted(
+        tuple(r) for r in near_dup_videos(frames, max_hamming=2).collect()
+    )
+    assert [(a, b, n) for a, b, n, _ in got] == [
+        (0, 1, 4), (2, 3, 4), (4, 5, 4), (6, 7, 4), (8, 9, 4), (10, 11, 4)
+    ]
+    assert all(h <= 2 for _, _, _, h in got)
+    loose = near_dup_videos(frames, max_hamming=4).collect()
+    assert len(loose) == 6  # margin: next pair is at hamming 5
 
 
 def test_media_repartition_sizes(spark, media_df):
@@ -602,3 +647,39 @@ def test_progressive_scan_header_bounds_rejected():
                 (1, 5, 3, 1)]:   # Ah != Al + 1
         with pytest.raises(ValueError):
             run(*bad)
+
+
+def test_avi_container_roundtrip_and_errors():
+    """RIFF walk: frames round-trip bit-identically to a direct JPEG
+    encode/decode; container violations raise the documented errors."""
+    from bloom_filters_spark.functions.avi import (
+        decode_avi_frame,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from bloom_filters_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    frames = []
+    for t in range(5):
+        yy, xx = np.mgrid[0:24, 0:40]
+        frames.append(((xx * 3 + yy * 2 + t * 20) % 256).astype(np.uint8))
+    avi = encode_avi_mjpeg(frames, fps=5, quality=88)
+    meta, chunks = decode_avi_mjpeg(avi)
+    assert meta == {"fps": 5.0, "n_frames": 5, "width": 40, "height": 24}
+    for src, ch in zip(frames, chunks):
+        want = decode_jpeg(encode_jpeg(src, quality=88, subsampling="444"))
+        assert (decode_avi_frame(ch) == want).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"JUNK" + avi[4:])
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(avi[:8] + b"WAVE" + avi[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(avi[:100])
+    # non-MJPG compression fourcc in strf → honest NotImplementedError
+    pos = avi.find(b"MJPG", avi.find(b"strf"))
+    doctored = avi[:pos] + b"H264" + avi[pos + 4:]
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        decode_avi_mjpeg(doctored)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([])
