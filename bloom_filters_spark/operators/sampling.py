@@ -138,6 +138,35 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+# auto-presample switch (mirrors pipeline.py pair_mode="auto"): engage
+# the hash-prefix precut once SOME stratum would make the rank window
+# sort more than this many rows in a single task — below it, one task's
+# in-memory sort is cheaper than the precut's extra aggregate + driver
+# histogram.  1.3 retains ~30% headroom over the quota, making the
+# per-stratum shortfall (binomial under-draw) a <1e-9 event at any
+# quota >= ~200 while still cutting a mega-stratum's sort input by
+# quota/N * 1.3.
+PRESAMPLE_AUTO_THRESHOLD = 2_000_000
+PRESAMPLE_AUTO_MARGIN = 1.3
+
+
+def _resolve_auto_margin(counts: DataFrame, max_strata: int):
+    """Decide ``presample_margin`` for ``"auto"``: one scalar aggregate
+    over the per-stratum histogram.  Returns the margin when a stratum
+    exceeds :data:`PRESAMPLE_AUTO_THRESHOLD` rows AND the histogram is
+    small enough for the precut's driver-side shortfall check; None
+    (the plain path) otherwise — auto never raises on too many strata,
+    it just declines the precut."""
+    stats = counts.agg(
+        F.max("_n").alias("_mx"), F.count(F.lit(1)).alias("_ns")
+    ).collect()[0]
+    if stats["_mx"] is None:
+        return None
+    if stats["_mx"] >= PRESAMPLE_AUTO_THRESHOLD and stats["_ns"] <= max_strata:
+        return PRESAMPLE_AUTO_MARGIN
+    return None
+
+
 def _presample_precut(
     df: DataFrame,
     h,
@@ -225,7 +254,7 @@ def stratified_sample(
     budget: Optional[int] = None,
     alpha: float = 1.0,
     salt: str = "",
-    presample_margin: Optional[float] = None,
+    presample_margin: Optional[float] | str = "auto",
     max_strata: int = 1_000_000,
 ) -> DataFrame:
     """Exact-count deterministic stratified sample.  A NULL stratum is
@@ -260,8 +289,12 @@ def stratified_sample(
     :func:`hash_threshold_sample` (module docstring), or
     ``presample_margin``.
 
-    ``presample_margin`` (e.g. ``1.3``) is the scale path for exact
-    counts on huge strata: before ranking, each stratum is pre-filtered
+    ``presample_margin`` (default ``"auto"``: one tiny aggregate over
+    the per-stratum histogram engages the precut only when some stratum
+    exceeds ``PRESAMPLE_AUTO_THRESHOLD`` rows — the plain path result
+    is IDENTICAL either way; pass a float to force, None to disable)
+    is the scale path for exact counts on huge strata: before ranking,
+    each stratum is pre-filtered
     to rows whose 32-bit hash prefix falls under
     ``quota/N * margin`` of the hash space, so the per-stratum sort
     sees ~``quota*margin`` rows instead of ``N`` (sampling 1% of a
@@ -320,6 +353,8 @@ def stratified_sample(
     counts = counts.withColumnRenamed(strata_col, "_strat")
     on = F.col(strata_col).eqNullSafe(F.col("_strat"))
     aux = ["_h", "_rk", "_strat", "_n", "_w", "_wtot", "_quota"]
+    if presample_margin == "auto":
+        presample_margin = _resolve_auto_margin(counts, max_strata)
     if presample_margin is not None:
         pre = _presample_precut(
             df, h, counts, on, presample_margin, max_strata
@@ -340,24 +375,29 @@ def per_stratum_cap(
     k: int,
     key_col: str = "doc_id",
     salt: str = "",
-    presample_margin: Optional[float] = None,
+    presample_margin: Optional[float] | str = "auto",
     max_strata: int = 1_000_000,
 ) -> DataFrame:
     """Keep at most ``k`` rows per stratum (C4-style per-domain cap),
     chosen deterministically as the ``k`` smallest ``md5(key)`` within
     the stratum.  One exchange on ``strata_col``.
 
-    ``presample_margin`` (e.g. ``1.3``) is the hot-stratum scale path —
-    the same hash-prefix precut as :func:`stratified_sample`: a domain
-    with 10⁸ pages under ``k=10⁵`` pre-filters to ~``k*margin`` rows
-    before the rank sort, instead of sorting the whole stratum in one
-    window task.  Exact by the shortfall protocol (see
-    :func:`_presample_precut`); costs one extra aggregate + a
-    ``max_strata``-guarded driver histogram."""
+    ``presample_margin`` (default ``"auto"``, same switch as
+    :func:`stratified_sample`) is the hot-stratum scale path — the same
+    hash-prefix precut: a domain with 10⁸ pages under ``k=10⁵``
+    pre-filters to ~``k*margin`` rows before the rank sort, instead of
+    sorting the whole stratum in one window task.  Exact by the
+    shortfall protocol (see :func:`_presample_precut`); costs one extra
+    aggregate + a ``max_strata``-guarded driver histogram."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     w = Window.partitionBy(strata_col).orderBy("_h", key_col)
     h = rank_hash_expr(key_col, salt)
+    if presample_margin == "auto":
+        presample_margin = _resolve_auto_margin(
+            df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")),
+            max_strata,
+        )
     if presample_margin is None:
         return (
             df.withColumn("_h", h)

@@ -393,3 +393,82 @@ def test_token_budget_subbucket_boundary(spark):
     budget = 9000
     out = token_budget_select(df, "score", "n_tokens", budget=budget)
     assert {r.doc_id for r in out.collect()} == _prefix_oracle(rows, budget)
+
+
+def test_auto_presample_small_strata_identical(docs):
+    """Default "auto" on small strata declines the precut and returns
+    the IDENTICAL rows as both the forced-plain and forced-precut
+    paths, for both operators."""
+    plain = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", fraction=0.3, presample_margin=None
+        ).collect()
+    )
+    auto = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", fraction=0.3).collect()
+    )
+    forced = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", fraction=0.3, presample_margin=1.3
+        ).collect()
+    )
+    assert auto == plain == forced
+    cap_plain = sorted(
+        r["doc_id"]
+        for r in per_stratum_cap(
+            docs, "lang", 15, presample_margin=None
+        ).collect()
+    )
+    cap_auto = sorted(
+        r["doc_id"] for r in per_stratum_cap(docs, "lang", 15).collect()
+    )
+    assert cap_auto == cap_plain
+
+
+def test_auto_presample_engages_on_hot_stratum(docs, monkeypatch):
+    """With the threshold lowered to the fixture scale, auto must take
+    the precut path (the plan filters on the hash prefix before the
+    rank window — no full-stratum sort) and still return exactly the
+    plain path's rows."""
+    import bloom_filters_spark.operators.sampling as sampling
+
+    monkeypatch.setattr(sampling, "PRESAMPLE_AUTO_THRESHOLD", 100)
+    plain = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", fraction=0.3, presample_margin=None
+        ).collect()
+    )
+    # the optimizer collapses the _hv alias into the join condition:
+    # `conv(substring(_h, 1, 8), ...) < _cut` BEFORE the Sort+Window —
+    # the no-full-stratum-sort plan shape
+    auto_df = stratified_sample(docs, "lang", fraction=0.3)
+    plan = auto_df._jdf.queryExecution().executedPlan().toString()
+    assert "conv(substring(" in plan and "_cut" in plan
+    assert sorted(r["doc_id"] for r in auto_df.collect()) == plain
+
+    cap_plain = sorted(
+        r["doc_id"]
+        for r in per_stratum_cap(
+            docs, "lang", 15, presample_margin=None
+        ).collect()
+    )
+    cap_df = per_stratum_cap(docs, "lang", 15)
+    cplan = cap_df._jdf.queryExecution().executedPlan().toString()
+    assert "conv(substring(" in cplan and "_cut" in cplan
+    assert sorted(r["doc_id"] for r in cap_df.collect()) == cap_plain
+
+    # too many strata for the driver histogram → auto declines (plain
+    # path, no raise), unlike an explicit margin which raises
+    monkeypatch.setattr(sampling, "PRESAMPLE_AUTO_THRESHOLD", 1)
+    out = stratified_sample(
+        docs, "lang", fraction=0.5, max_strata=2
+    )
+    assert "_cut" not in out._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="max_strata"):
+        stratified_sample(
+            docs, "lang", fraction=0.5, presample_margin=1.3, max_strata=2
+        ).collect()
