@@ -215,3 +215,80 @@ def run_incremental_near_dup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_epochs(spark, store_base: str, below_epoch: int) -> int:
+    """Maintenance op for the incremental-LSH epoch stores: merge every
+    ``epoch=<id>`` partition with ``id < below_epoch`` into ONE
+    consolidated partition, bounding the small-file count of a
+    long-running stream (one directory per micro-batch otherwise grows
+    without limit).
+
+    Replay-idempotency contract: ``below_epoch`` must be <= the last
+    COMMITTED epoch id + 1 (Spark only ever replays the first
+    uncommitted epoch, so every id strictly below a committed id is
+    final).  The merged rows land under ``epoch=<below_epoch - 1>`` —
+    an id that can no longer replay — so ``_read_prior_epochs``'s
+    ``epoch < current`` filter sees exactly the same rows before and
+    after compaction, for both in-flight and replayed epochs.
+
+    Crash-safe in two phases, using Spark's convention that
+    underscore-prefixed paths are invisible to readers:
+
+    1. write the merged rows to ``_compacting`` and then a
+       ``_compact_manifest.json`` marker — readers still see the
+       original epoch directories;
+    2. overwrite ``epoch=<below_epoch-1>`` from ``_compacting``, delete
+       the older epoch directories, then the marker and the temp dir.
+
+    A crash in phase 1 leaves the store untouched (re-run restarts the
+    merge); a crash in phase 2 is resumed from the manifest — the temp
+    dir, not the (possibly half-rewritten) store, is authoritative.
+    Returns the number of epoch directories that were merged away (0 =
+    nothing to do).  Local/posix filesystem ops; an object-store
+    deployment swaps in its FileSystem client for the directory moves.
+    """
+    import json
+    import os
+    import re
+    import shutil
+
+    if below_epoch < 1:
+        raise ValueError(f"below_epoch must be >= 1, got {below_epoch}")
+    tmp = os.path.join(store_base, "_compacting")
+    manifest = os.path.join(store_base, "_compact_manifest.json")
+
+    def epoch_dirs():
+        out = {}
+        for name in os.listdir(store_base):
+            m = re.fullmatch(r"epoch=(\d+)", name)
+            if m:
+                out[int(m.group(1))] = os.path.join(store_base, name)
+        return out
+
+    if os.path.exists(manifest):  # resume a phase-2 crash
+        with open(manifest) as fh:
+            below_epoch = json.load(fh)["below_epoch"]
+    else:
+        victims = {e: d for e, d in epoch_dirs().items() if e < below_epoch}
+        if len(victims) <= 1:
+            return 0
+        merged = (
+            spark.read.parquet(store_base)
+            .where(F.col("epoch") < F.lit(int(below_epoch)))
+            .drop("epoch")
+        )
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(manifest, "w") as fh:
+            json.dump({"below_epoch": int(below_epoch)}, fh)
+
+    target = os.path.join(store_base, f"epoch={int(below_epoch) - 1}")
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
+    removed = 0
+    for e, d in epoch_dirs().items():
+        if e < below_epoch - 1:
+            shutil.rmtree(d)
+            removed += 1
+    os.remove(manifest)
+    shutil.rmtree(tmp)
+    return removed + 1  # the rewritten target partition was merged too

@@ -284,3 +284,99 @@ def test_incremental_near_dup_crash_replay_from_checkpoint(spark, tmp_path):
     q.stop()
 
     assert collect_pairs(store) == expected
+
+
+def test_compact_epochs_preserves_replay(spark, tmp_path):
+    """20 micro-batches → compact bands+signatures below the last
+    committed epoch → replay the last epoch (delete its commit marker,
+    restart) → pairs output identical to an uncompacted control run;
+    compacted stores read back row-identical with a bounded directory
+    count."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import (
+        compact_epochs,
+        run_incremental_near_dup,
+    )
+
+    n_batches = 20
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for b in range(n_batches):
+        ids = np.arange(b, 400, n_batches)  # spreads planted (2k,2k+1)
+        pdf = generate_pages_pdf(ids, seed=9)
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(
+            src + f"/b{b:02d}"
+        )
+    static = spark.read.parquet(src + "/*")
+    cfg = NearDupConfig(threshold=0.8)
+
+    def run(store, ckpt):
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select("doc_id", "text")
+        )
+        q = run_incremental_near_dup(spark, stream, cfg, store,
+                                     checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    def pairs_of(store):
+        return sorted(
+            (r["id1"], r["id2"])
+            for r in spark.read.parquet(store + "/pairs").collect()
+        )
+
+    control = str(tmp_path / "store_ctl")
+    run(control, str(tmp_path / "ckpt_ctl"))
+    want = pairs_of(control)
+    assert len(want) > 0
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run(store, ckpt)
+    assert pairs_of(store) == want
+
+    # pre-compaction content + epoch count
+    bands_before = sorted(
+        map(tuple, spark.read.parquet(store + "/bands").drop("epoch").collect())
+    )
+    sigs_before = sorted(
+        map(tuple,
+            spark.read.parquet(store + "/signatures").drop("epoch").collect())
+    )
+    n_epochs = spark.read.parquet(store + "/bands").select(
+        "epoch").distinct().count()
+    assert n_epochs == n_batches
+
+    # compact everything below the LAST epoch (all are committed)
+    last = n_batches - 1
+    for sub in ("bands", "signatures"):
+        merged = compact_epochs(spark, store + "/" + sub, last)
+        assert merged == last  # epochs 0..18 merged into epoch=18
+        left = spark.read.parquet(store + "/" + sub).select(
+            "epoch").distinct().count()
+        assert left == 2  # epoch=18 (merged) + epoch=19
+    assert sorted(
+        map(tuple, spark.read.parquet(store + "/bands").drop("epoch").collect())
+    ) == bands_before
+    assert sorted(
+        map(tuple,
+            spark.read.parquet(store + "/signatures").drop("epoch").collect())
+    ) == sigs_before
+
+    # replay the last epoch against the compacted store: un-commit it
+    commit = os.path.join(ckpt, "commits", str(last))
+    assert os.path.exists(commit)
+    os.remove(commit)
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(store, ckpt)
+    assert pairs_of(store) == want  # identical pairs after replay
+
+    # compacting an already-compacted store is a no-op
+    assert compact_epochs(spark, store + "/bands", last) == 0
