@@ -518,6 +518,7 @@ def semantic_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_block: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
     whose EMBEDDINGS nearly coincide — the semantic tier above
@@ -539,9 +540,17 @@ def semantic_dedup(
     Scale shape — the paper's own complexity, re-expressed in joins:
     the within-cluster self-join is O(Σ c_i²), the SemDeDup trade: at
     fleet scale raise ``n_centroids`` ∝ corpus size so clusters stay
-    ~constant-sized (the paper uses 50k clusters for LAION-440M), and
-    AQE's skew-join split handles natural cluster imbalance.  Nothing
-    here is all-pairs across clusters.
+    ~constant-sized (the paper uses 50k clusters for LAION-440M).
+    Natural imbalance is handled STRUCTURALLY, not just by AQE: a
+    cluster larger than ``max_cluster_block`` is split into
+    ``p = ceil(c / max_cluster_block)`` hash blocks per side and joined
+    on ``(cluster_id, block_i, block_j)`` — the two-sided salted
+    quadratic split (each side replicated p times, p² cells of
+    ~max_cluster_block² expected pair evaluations each; per-cell size
+    is binomial around c/p, so the bound is sharp up to hash variance),
+    so one viral cluster can never pin its c² pairs on a single task.  Every pair meets in
+    exactly one (i, j) cell, so the output is IDENTICAL to the plain
+    join.  Nothing here is all-pairs across clusters.
     """
     if cluster_col is None:
         cent = train_ivf_centroids(
@@ -580,18 +589,41 @@ def semantic_dedup(
         )
 
     tau = 1.0 - eps
-    left = assigned.select(
+    if max_cluster_block < 1:
+        raise ValueError(
+            f"max_cluster_block must be >= 1, got {max_cluster_block}"
+        )
+    # per-cluster block count p = ceil(c / max_cluster_block): tiny
+    # histogram, broadcast back; p = 1 (the common case) degenerates to
+    # the plain within-cluster join with a constant block key
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.ceil(
+            F.count(F.lit(1)).cast("double") / F.lit(float(max_cluster_block))
+        ).cast("int").alias("_p")
+    )
+    blocks = F.explode(F.sequence(F.lit(0), F.col("_p") - 1))
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("_p")).cast("int")
+    salted = assigned.join(F.broadcast(sizes), "cluster_id")
+    # pair (a, b) meets in exactly one cell: (i = h(a)%p from the left
+    # row, j = h(b)%p from the right row) — the left explodes over j,
+    # the right over i, so each side is replicated p times and every
+    # (cluster, i, j) cell evaluates ~max_cluster_block^2 pairs
+    left = salted.select(
         F.col("cluster_id"),
+        own.alias("_bi"),
+        blocks.alias("_bj"),
         F.col(id_col).alias("_id1"),
         F.col(vec_col).alias("_v1"),
     )
-    right = assigned.select(
+    right = salted.select(
         F.col("cluster_id"),
+        blocks.alias("_bi"),
+        own.alias("_bj"),
         F.col(id_col).alias("_id2"),
         F.col(vec_col).alias("_v2"),
     )
     dropped = (
-        left.join(right, "cluster_id")
+        left.join(right, ["cluster_id", "_bi", "_bj"])
         .where(F.col("_id1") < F.col("_id2"))
         .where(F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6) >= tau)
         .select(F.col("_id2").alias(id_col))
