@@ -22,11 +22,18 @@ observable, never silent.
         [--pages --domain-cap K] \
         [--stratify-col lang --stratify-budget N --alpha 0.5] \
         [--token-budget-frac 0.5] \
-        [--split train=0.98,val=0.01,test=0.01]
+        [--split train=0.98,val=0.01,test=0.01] \
+        [--stage-dir /path/to/stage_ckpts]
 
 Writes the curated table to ``--output`` (with a ``split`` column when
 --split is given) and a one-line JSON metrics summary to
 ``<output>_metrics.json``.
+
+``--stage-dir`` makes the run resumable at stage granularity: each
+stage's output parquet is a committed checkpoint (Spark _SUCCESS
+marker + manifest row), so a killed job rerun with the same arguments
+skips every completed stage and restarts from the first incomplete
+boundary; skipped stages are reported under ``stages_skipped``.
 """
 
 from __future__ import annotations
@@ -46,6 +53,96 @@ def _parse_split(spec: str) -> dict:
             )
         out[label.strip()] = float(frac)
     return out
+
+
+def _plan_fingerprint(plan_keys, args) -> str:
+    """A resumed run must re-execute the SAME plan on the SAME input
+    with the SAME knobs — any difference (except --output /
+    --stage-dir / the test hook) starts fresh."""
+    import hashlib
+
+    cfg = {
+        k: v for k, v in sorted(vars(args).items())
+        if k not in ("output", "stage_dir", "fail_after")
+    }
+    blob = json.dumps({"plan": list(plan_keys), "args": cfg}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def _run_plan(spark, df, plan, stages, args):
+    """Run the stage plan; with --stage-dir, each stage's output
+    parquet is a committed checkpoint (Spark's _SUCCESS marker + a
+    manifest row with the count), and a rerun skips every stage whose
+    checkpoint committed under the same plan fingerprint, reading the
+    last completed stage's parquet instead of recomputing it.
+
+    Without --stage-dir: the original in-memory protocol — each stage
+    persists its output before the count and unpersists its input
+    (without this, every count and the final write re-execute ALL
+    prior stages from the source scan: O(stages**2) work at scale).
+    Returns (df, skipped_stage_keys)."""
+    import os
+
+    if not plan:
+        return df, []
+
+    if args.stage_dir is None:
+        prev = None
+        for key, fn in plan:
+            new_df = fn(df).persist()
+            stages[key] = new_df.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = df = new_df
+            if args.fail_after == key:
+                print(json.dumps({"failed_after": key}))
+                raise SystemExit(3)
+        return df, []
+
+    os.makedirs(args.stage_dir, exist_ok=True)
+    manifest_path = os.path.join(args.stage_dir, "manifest.json")
+    fp = _plan_fingerprint((k for k, _ in plan), args)
+    manifest = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if manifest.get("fingerprint") != fp:
+            manifest = None  # different plan/input → start fresh
+
+    done = dict(manifest["completed"]) if manifest else {}
+
+    def stage_path(i, key):
+        return os.path.join(args.stage_dir, f"{i:02d}_{key}")
+
+    skipped = []
+    start = 0
+    for i, (key, _) in enumerate(plan):
+        path = stage_path(i, key)
+        if key in done and os.path.exists(os.path.join(path, "_SUCCESS")):
+            stages[key] = done[key]
+            skipped.append(key)
+            start = i + 1
+        else:
+            break
+    if start > 0:
+        df = spark.read.parquet(stage_path(start - 1, plan[start - 1][0]))
+
+    completed = [(k, done[k]) for k, _ in plan[:start]]
+    for i in range(start, len(plan)):
+        key, fn = plan[i]
+        path = stage_path(i, key)
+        fn(df).write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        stages[key] = df.count()
+        completed.append((key, stages[key]))
+        # manifest written AFTER the stage parquet commits: a crash
+        # between the two re-runs only the crashed stage
+        with open(manifest_path, "w") as fh:
+            json.dump({"fingerprint": fp, "completed": completed}, fh)
+        if args.fail_after == key:
+            print(json.dumps({"failed_after": key}))
+            raise SystemExit(3)
+    return df, skipped
 
 
 def main():
@@ -108,6 +205,15 @@ def main():
     p.add_argument("--split", default=None,
                    help="comma list label=fraction (must sum to 1); "
                         "adds a deterministic md5-range split column")
+    p.add_argument("--stage-dir", default=None,
+                   help="per-stage checkpoint directory: each stage's "
+                        "output parquet lands here and a killed run "
+                        "resumes at the last completed stage boundary "
+                        "(same args required; a changed stage plan "
+                        "starts fresh)")
+    p.add_argument("--fail-after", default=None,
+                   help=argparse.SUPPRESS)  # test hook: exit(3) after
+                                            # completing this stage
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -141,173 +247,161 @@ def main():
 
     from bloom_filters_spark import curation as cur
 
-    # Each stage persists its output before the count and unpersists
-    # its input: without this, every stages[...] count (and the final
-    # write) re-executes ALL prior stages from the parquet scan —
-    # O(stages**2) work at scale.
-    prev = [None]
-
-    def _advance(new_df, stage_key):
-        new_df = new_df.persist()
-        stages[stage_key] = new_df.count()
-        if prev[0] is not None:
-            prev[0].unpersist()
-        prev[0] = new_df
-        return new_df
+    # ------------------------------------------------------------------
+    # stage plan: an ordered list of (key, fn) where fn(df) -> df.
+    # Building the plan first (instead of running stages inline) is what
+    # makes --stage-dir resume possible: a resumed run replays the SAME
+    # plan, skips every stage whose checkpoint committed, and restarts
+    # from the first incomplete boundary.
+    # ------------------------------------------------------------------
+    plan = []
 
     if args.latest_revision:
-        from bloom_filters_spark.operators.dedup import keep_latest_revision
+        def _latest_revision(df):
+            from bloom_filters_spark.operators.dedup import (
+                keep_latest_revision,
+            )
 
-        winners = keep_latest_revision(
-            df, url_col="url", ts_col="warc_ts", id_col="url"
-        ).select(
-            F.col("kept_id").alias("_w_url"),
-            F.col("kept_ts").alias("_w_ts"),
-        )
-        # semi-join on (url, ts): url alone would also keep OLDER rows
-        # that share the winner's exact raw url string.  NULL-SAFE
-        # equality on the ts key: with plain `=`, a canonical-URL group
-        # whose winning row has NULL warc_ts would be dropped WHOLE
-        # (NULL = NULL is NULL).  Rows that tie the winner exactly on
-        # (url, ts) all survive — "latest revision" is genuinely
-        # ambiguous between byte-identical (url, ts) recrawls, and
-        # keeping both leaves the choice to the downstream exact dedup.
-        cond = F.col("url").eqNullSafe(F.col("_w_url")) & F.col(
-            "warc_ts"
-        ).eqNullSafe(F.col("_w_ts"))
-        df = _advance(
-            df.join(winners, cond, "left_semi"),
-            "after_latest_revision",
-        )
+            winners = keep_latest_revision(
+                df, url_col="url", ts_col="warc_ts", id_col="url"
+            ).select(
+                F.col("kept_id").alias("_w_url"),
+                F.col("kept_ts").alias("_w_ts"),
+            )
+            # semi-join on (url, ts): url alone would also keep OLDER
+            # rows that share the winner's exact raw url string.
+            # NULL-SAFE equality on the ts key: with plain `=`, a
+            # canonical-URL group whose winning row has NULL warc_ts
+            # would be dropped WHOLE (NULL = NULL is NULL).  Rows that
+            # tie the winner exactly on (url, ts) all survive —
+            # "latest revision" is genuinely ambiguous between
+            # byte-identical (url, ts) recrawls, and keeping both
+            # leaves the choice to the downstream exact dedup.
+            cond = F.col("url").eqNullSafe(F.col("_w_url")) & F.col(
+                "warc_ts"
+            ).eqNullSafe(F.col("_w_ts"))
+            return df.join(winners, cond, "left_semi")
+
+        plan.append(("after_latest_revision", _latest_revision))
 
     if args.blocklist:
-        df = _advance(
-            cur.blocklist_filter(
-                df, [b.strip() for b in args.blocklist.split(",") if b.strip()]
-            ),
-            "after_blocklist",
-        )
+        blocked = [b.strip() for b in args.blocklist.split(",") if b.strip()]
+        plan.append(("after_blocklist",
+                     lambda df: cur.blocklist_filter(df, blocked)))
 
     if args.quality_filter:
-        df = _advance(
-            cur.quality_filter(df, text_col=args.text_col), "after_quality"
-        )
+        plan.append(("after_quality",
+                     lambda df: cur.quality_filter(df, text_col=args.text_col)))
 
     if args.c4_filter:
-        df = _advance(
-            cur.c4_filter(df, text_col=args.text_col), "after_c4"
-        )
+        plan.append(("after_c4",
+                     lambda df: cur.c4_filter(df, text_col=args.text_col)))
 
     if args.max_rare_ppm is not None:
-        df = _advance(
-            cur.rarity_filter(
-                df, args.max_rare_ppm, key_col=key_col,
-                text_col=args.text_col,
-                broadcast_vocab=not args.rarity_shuffle_join,
-            ),
-            "after_rarity",
-        )
+        plan.append(("after_rarity", lambda df: cur.rarity_filter(
+            df, args.max_rare_ppm, key_col=key_col, text_col=args.text_col,
+            broadcast_vocab=not args.rarity_shuffle_join,
+        )))
 
     if args.dedup == "exact":
-        df = _advance(
-            cur.exact_dedup_keep_min(
-                df, key_col=key_col, text_col=args.text_col
-            ),
-            "after_exact_dedup",
-        )
+        plan.append(("after_exact_dedup", lambda df: cur.exact_dedup_keep_min(
+            df, key_col=key_col, text_col=args.text_col
+        )))
     elif args.dedup == "near":
-        from pyspark.sql import Window
+        def _near_dedup(df):
+            from pyspark.sql import Window
 
-        from bloom_filters_spark.pipeline import (
-            NearDupConfig,
-            near_dup_pipeline,
-        )
+            from bloom_filters_spark.pipeline import (
+                NearDupConfig,
+                near_dup_pipeline,
+            )
 
-        cfg = NearDupConfig(threshold=args.threshold)
-        clusters = near_dup_pipeline(
-            df, cfg, id_col=key_col, text_col=args.text_col
-        )
-        # keep-best: longest member per cluster, min-key tiebreak
-        sized = clusters.join(
-            df.select(
-                F.col(key_col),
-                F.length(F.col(args.text_col)).alias("_len"),
-            ),
-            key_col,
-        )
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.desc("_len"), F.asc(key_col)
-        )
-        keep = (
-            sized.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(key_col)
-        )
-        df = _advance(df.join(keep, key_col, "left_semi"),
-                      "after_near_dedup")
+            cfg = NearDupConfig(threshold=args.threshold)
+            clusters = near_dup_pipeline(
+                df, cfg, id_col=key_col, text_col=args.text_col
+            )
+            # keep-best: longest member per cluster, min-key tiebreak
+            sized = clusters.join(
+                df.select(
+                    F.col(key_col),
+                    F.length(F.col(args.text_col)).alias("_len"),
+                ),
+                key_col,
+            )
+            w = Window.partitionBy("cluster_id").orderBy(
+                F.desc("_len"), F.asc(key_col)
+            )
+            keep = (
+                sized.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(key_col)
+            )
+            return df.join(keep, key_col, "left_semi")
+
+        plan.append(("after_near_dedup", _near_dedup))
 
     if args.domain_cap is not None:
-        df = _advance(
-            cur.domain_cap(df, args.domain_cap, key_col=key_col),
-            "after_domain_cap",
-        )
+        plan.append(("after_domain_cap", lambda df: cur.domain_cap(
+            df, args.domain_cap, key_col=key_col
+        )))
 
     if args.dsir_top is not None:
-        df = _advance(
-            cur.dsir_top_select(
-                df, args.dsir_target, args.dsir_top,
-                key_col=key_col, text_col=args.text_col,
-            ),
-            "after_dsir",
-        )
+        plan.append(("after_dsir", lambda df: cur.dsir_top_select(
+            df, args.dsir_target, args.dsir_top,
+            key_col=key_col, text_col=args.text_col,
+        )))
 
     if args.stratify_col:
-        from bloom_filters_spark.operators.sampling import stratified_sample
+        def _stratify(df):
+            from bloom_filters_spark.operators.sampling import (
+                stratified_sample,
+            )
 
-        df = _advance(
-            stratified_sample(
+            return stratified_sample(
                 df, args.stratify_col, key_col=key_col,
                 fraction=args.stratify_fraction,
                 budget=args.stratify_budget, alpha=args.alpha,
                 salt=cur.SALT_STRATIFY,
                 presample_margin=args.presample_margin,
-            ),
-            "after_stratify",
-        )
+            )
+
+        plan.append(("after_stratify", _stratify))
 
     if args.token_budget_frac is not None:
-        from bloom_filters_spark.functions.text import (
-            STOPWORDS,
-            token_count_expr,
-        )
-        from bloom_filters_spark.operators.sampling import (
-            token_budget_select,
-        )
-
-        text = F.col(args.text_col)
-        toks = F.filter(
-            F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
-        )
-        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-        n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        df = (
-            df.withColumn("_tok", token_count_expr(text))
-            .withColumn(
-                "_score",
-                F.floor(
-                    (n_sw * F.lit(100.0))
-                    / F.greatest(F.col("_tok"), F.lit(1))
-                ),
+        def _token_budget(df):
+            from bloom_filters_spark.functions.text import (
+                STOPWORDS,
+                token_count_expr,
             )
-        )
-        df = _advance(
-            token_budget_select(
+            from bloom_filters_spark.operators.sampling import (
+                token_budget_select,
+            )
+
+            text = F.col(args.text_col)
+            toks = F.filter(
+                F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+            )
+            sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+            n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            df = (
+                df.withColumn("_tok", token_count_expr(text))
+                .withColumn(
+                    "_score",
+                    F.floor(
+                        (n_sw * F.lit(100.0))
+                        / F.greatest(F.col("_tok"), F.lit(1))
+                    ),
+                )
+            )
+            return token_budget_select(
                 df, "_score", "_tok", key_col=key_col,
                 budget_frac=args.token_budget_frac,
                 salt=cur.SALT_TOKEN_BUDGET,
-            ).drop("_tok", "_score"),
-            "after_token_budget",
-        )
+            ).drop("_tok", "_score")
+
+        plan.append(("after_token_budget", _token_budget))
+
+    df, skipped = _run_plan(spark, df, plan, stages, args)
 
     if split:
         from bloom_filters_spark.operators.sampling import hash_split
@@ -320,6 +414,7 @@ def main():
     metrics = {
         "input": args.input,
         "stages": stages,
+        **({"stages_skipped": skipped} if skipped else {}),
         **(
             {
                 "splits": {

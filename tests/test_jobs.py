@@ -165,3 +165,84 @@ def test_curate_job_c4_and_dsir_stages(spark, tmp_path):
     # odd doc_ids carry lorem ipsum -> dropped by the C4 gate
     assert st["after_c4"] == 250
     assert st["after_dsir"] == 20 == st["rows_out"]
+
+
+def test_curate_job_stage_dir_kill_resume(spark, tmp_path):
+    """Per-stage resume: a run killed mid-chain (--fail-after test
+    hook = deterministic kill at a stage boundary) resumes with the
+    same args, skips every completed stage, and produces the exact
+    output of an uninterrupted control run."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    chain = [
+        "--max-rare-ppm", "900000", "--dedup", "exact",
+        "--stratify-col", "lang", "--stratify-fraction", "0.5",
+        "--split", "train=0.8,val=0.1,test=0.1",
+    ]
+
+    control_out = str(tmp_path / "control")
+    m_control = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", control_out, *chain
+    )
+
+    out = str(tmp_path / "curated")
+    stage_dir = str(tmp_path / "stages")
+    crashed = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", DOCS, "--output", out, "--stage-dir", stage_dir,
+         *chain, "--fail-after", "after_exact_dedup"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert crashed.returncode == 3, crashed.stderr[-2000:]
+    assert not os.path.exists(out)  # died before the final write
+    # the two completed stages committed their checkpoints
+    assert os.path.exists(
+        os.path.join(stage_dir, "00_after_rarity", "_SUCCESS"))
+    assert os.path.exists(
+        os.path.join(stage_dir, "01_after_exact_dedup", "_SUCCESS"))
+
+    m = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", out,
+        "--stage-dir", stage_dir, *chain,
+    )
+    assert m["stages_skipped"] == ["after_rarity", "after_exact_dedup"]
+    assert m["stages"] == m_control["stages"]
+    assert m["splits"] == m_control["splits"]
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(control_out)
+        .select("doc_id", "split").collect()
+    )
+    assert got == want
+
+    # a second rerun skips EVERY stage (all boundaries committed)
+    m2 = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", out,
+        "--stage-dir", stage_dir, *chain,
+    )
+    assert m2["stages_skipped"] == [
+        "after_rarity", "after_exact_dedup", "after_stratify"
+    ]
+    assert m2["splits"] == m_control["splits"]
+
+    # a half-written (uncommitted) stage re-runs: drop its _SUCCESS
+    os.remove(os.path.join(stage_dir, "02_after_stratify", "_SUCCESS"))
+    m3 = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", out,
+        "--stage-dir", stage_dir, *chain,
+    )
+    assert m3["stages_skipped"] == ["after_rarity", "after_exact_dedup"]
+    assert m3["splits"] == m_control["splits"]
+
+    # changed args → different fingerprint → full fresh run, no skips
+    m4 = _run_job(
+        "curate_job.py", "--input", DOCS, "--output", out,
+        "--stage-dir", stage_dir,
+        "--max-rare-ppm", "900000", "--dedup", "exact",
+        "--stratify-col", "lang", "--stratify-fraction", "0.4",
+        "--split", "train=0.8,val=0.1,test=0.1",
+    )
+    assert "stages_skipped" not in m4
