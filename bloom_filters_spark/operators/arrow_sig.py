@@ -359,7 +359,7 @@ def fused_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_shingles: np.ndarray | None = None,
-    hash_bits: int = 64,
+    hash_bits: int = 32,
 ) -> DataFrame:
     """text → exploded (doc_id, band_id, band_hash) in ONE Arrow stage,
     never materializing a signature column.
@@ -367,15 +367,19 @@ def fused_band_rows(
     This is the scale path for candidate generation: the full-corpus
     signature matrix exists only as a transient numpy array inside the
     kernel, so nothing wide is persisted, cached, or shuffled — the band
-    table is 16-byte rows.  The verify stage recomputes signatures just
-    for the (rare) docs that appear in a candidate pair; determinism of
-    the kernel guarantees they match the ones banded here.
+    table is 12-byte rows at the default width.  The verify stage
+    recomputes signatures just for the (rare) docs that appear in a
+    candidate pair; determinism of the kernel guarantees they match the
+    ones banded here.
 
-    ``hash_bits=32`` xor-folds the 64-bit band hash into an int column,
-    cutting the shuffled band row 16 → 12 bytes.  Collisions only MERGE
-    candidate groups (extra pairs are filtered downstream by verify), so
-    recall is unaffected; the cost is ~n_rows²/2³³ colliding row pairs
-    of extra verify work.  A/B knob for bandwidth-bound exchanges.
+    ``hash_bits=32`` (the default, adopted round 5 after the paired
+    ABBA measurement in ``BENCH/scaling_8_32.json``) xor-folds the
+    64-bit band hash into an int column, cutting the shuffled band row
+    16 → 12 bytes.  Collisions only MERGE candidate groups (extra pairs
+    are filtered downstream by verify), so recall is unaffected; the
+    cost is ~n_rows²/2³³ colliding row pairs of extra verify work.
+    ``hash_bits=64`` reads/extends band tables checkpointed before the
+    switch.
     """
     if hash_bits not in (32, 64):
         raise ValueError("hash_bits must be 32 or 64")
@@ -425,16 +429,20 @@ def fused_band_rows(
 
 
 def bands_arrow(sigs: DataFrame, bands: int, rows: int,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", hash_bits: int = 32) -> DataFrame:
     """(id, signature) → exploded (id, band_id, band_hash), all
     vectorized in Arrow (replaces the interpreted JVM
     ``transform + xxhash64 + explode`` chain, which anti-scaled).
 
     band_hash = uint64 Horner over the band's ``rows`` signature values,
     seeded with the band id so identical slices in different bands don't
-    collide.
+    collide; ``hash_bits`` folds it exactly like ``fused_band_rows`` so
+    the two-stage path stays row-for-row identical to the fused one.
     """
+    if hash_bits not in (32, 64):
+        raise ValueError("hash_bits must be 32 or 64")
     b_, r_ = bands, rows
+    fold32 = hash_bits == 32
 
     def compute(batches):
         for batch in batches:
@@ -446,7 +454,17 @@ def bands_arrow(sigs: DataFrame, bands: int, rows: int,
             n = len(ids)
             if n == 0:
                 continue
-            acc = _band_hashes_from_sig(flat.reshape(n, b_ * r_), b_, r_)
+            acc = _band_hashes_from_sig(
+                flat.reshape(n, b_ * r_), b_, r_
+            ).reshape(-1)
+            if fold32:
+                hashes = pa.array(
+                    (acc ^ (acc >> np.uint64(32)))
+                    .astype(np.uint32).view(np.int32),
+                    type=pa.int32(),
+                )
+            else:
+                hashes = pa.array(acc.view(np.int64), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.repeat(ids, b_), type=pa.int64()),
@@ -454,13 +472,14 @@ def bands_arrow(sigs: DataFrame, bands: int, rows: int,
                         np.tile(np.arange(b_, dtype=np.int32), n),
                         type=pa.int32(),
                     ),
-                    pa.array(acc.reshape(-1).view(np.int64), type=pa.int64()),
+                    hashes,
                 ],
                 names=[id_col, "band_id", "band_hash"],
             )
 
+    hash_type = "int" if fold32 else "long"
     return sigs.select(id_col, "signature").mapInArrow(
-        compute, f"{id_col} long, band_id int, band_hash long"
+        compute, f"{id_col} long, band_id int, band_hash {hash_type}"
     )
 
 

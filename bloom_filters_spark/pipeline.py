@@ -79,16 +79,22 @@ class NearDupConfig:
     # recomputed only for candidate-pair participants in the verify
     # stage.  Biggest single win on bandwidth-bound hosts.
     fuse_bands: bool = True
-    # band-hash width on the fused path: 64 (default) or 32.  32 xor-
+    # band-hash width on the arrow band impls (fused or two-stage):
+    # 32 (default) or 64.  32 xor-
     # folds the hash, cutting the widest shuffle's rows 16 → 12 bytes at
     # the price of ~n_rows²/2³³ colliding candidate groups.  Merged
     # groups usually only ADD verify work; to keep a collision from
     # pushing a small genuine group past max_band_group (star-linking
     # through a foreign anchor = recall loss), candidate_pairs groups
     # 32-bit bands by (band_id, band_hash) instead of the hash alone
-    # (operators/pairs.py _band_key).  Measured A/B at this sandbox's
-    # scale lives in BENCH/SCALING.md.
-    band_hash_bits: int = 64
+    # (operators/pairs.py _band_key).  Adopted as the default after the
+    # round-5 paired ABBA measurement (BENCH/scaling_8_32.json
+    # "hash32_paired_r5": 0.871x wall at 32 pinned cores, 0.993x at 8 —
+    # the band exchange is bandwidth-bound, so 25% fewer bytes in the
+    # widest shuffle shows up directly).  Pin 64 to read band tables
+    # checkpointed before the switch (checkpoint.py and the incremental
+    # path raise on a width mismatch rather than mis-join).
+    band_hash_bits: int = 32
     # CMS frequent-shingle (boilerplate) pruning: shingles appearing in
     # more than this fraction of documents are dropped before MinHash —
     # navigation chrome / legal footers otherwise dominate signatures
@@ -211,7 +217,15 @@ def lsh_bands(sigs: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id") -> Da
     if cfg.band_impl == "arrow":
         from bloom_filters_spark.operators.arrow_sig import bands_arrow
 
-        return bands_arrow(sigs, cfg.bands, cfg.rows_per_band, id_col)
+        return bands_arrow(sigs, cfg.bands, cfg.rows_per_band, id_col,
+                           hash_bits=cfg.band_hash_bits)
+    if cfg.band_hash_bits != 64:
+        # the JVM expression impls always emit the full 64-bit Horner
+        # hash; refuse rather than emit a width the config disclaims
+        raise ValueError(
+            f"band_impl={cfg.band_impl!r} only emits 64-bit band hashes; "
+            "set band_hash_bits=64 (the arrow impls support 32)"
+        )
     from bloom_filters_spark.operators.minhash_spark import bands_unrolled_expr
 
     expr = bands_unrolled_expr if cfg.band_impl == "jvm_unrolled" else bands_expr

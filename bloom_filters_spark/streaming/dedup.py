@@ -155,6 +155,21 @@ def run_incremental_near_dup(
             old_bands = _read_prior_epochs(band_store, epoch_id)
             old_sigs = _read_prior_epochs(sig_store, epoch_id)
             if old_bands is not None:
+                # same guard as the batch checkpoint path: a band store
+                # written at the other band_hash_bits width would be
+                # silently unjoinable (int->long upcast never matches a
+                # folded hash), so refuse rather than miss every
+                # cross-epoch dup
+                old_t = dict(old_bands.dtypes).get("band_hash")
+                new_t = dict(new_bands.dtypes)["band_hash"]
+                if old_t != new_t:
+                    raise ValueError(
+                        f"band store {band_store} holds {old_t} band "
+                        f"hashes but cfg.band_hash_bits={cfg.band_hash_bits} "
+                        f"emits {new_t}: pin band_hash_bits to the width "
+                        "the store was created with"
+                    )
+            if old_bands is not None:
                 cross = (
                     new_bands.join(
                         old_bands.withColumnRenamed(id_col, "id_old"),

@@ -464,7 +464,7 @@ def test_band_hash_bits_32_same_clusters(spark, documents_texts):
     default (and the band table's hash column becomes int)."""
     texts = documents_texts
     df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
-    c64 = NearDupConfig(threshold=0.7)
+    c64 = NearDupConfig(threshold=0.7, band_hash_bits=64)
     c32 = NearDupConfig(threshold=0.7, band_hash_bits=32)
     out64 = {r["doc_id"]: r["cluster_id"]
              for r in near_dup_pipeline(df, c64).collect()}
@@ -594,10 +594,10 @@ def test_incremental_band_width_mismatch_raises(spark):
     docs = spark.createDataFrame(
         generate_pages_pdf(np.arange(40), seed=5), PAGES_SCHEMA
     ).select("doc_id", "text")
-    cfg64 = NearDupConfig()
+    cfg64 = NearDupConfig(band_hash_bits=64)
     bands64 = fused_band_rows(
         docs, cfg64.factory(), cfg64.bands, cfg64.rows_per_band,
-        cfg64.shingle_size, cfg64.max_value,
+        cfg64.shingle_size, cfg64.max_value, hash_bits=64,
     )
     with pytest.raises(ValueError, match="band_hash"):
         incremental_candidates(

@@ -38,8 +38,14 @@ VARIANTS: dict[str, dict] = {
     },
     # 32-bit band hash: widest shuffle rows 16 -> 12 bytes; extra
     # colliding candidates are verified away (VERDICT r02 item #7 asks
-    # for the 32-core-only re-quantification of this A/B)
+    # for the 32-core-only re-quantification of this A/B).  Pinned
+    # explicitly so the pair stays meaningful across default changes:
+    # after the round-5 paired ABBA run (tools/ab_hash32_paired.py,
+    # 0.871x @32c / 0.993x @8c) 32-bit became the NearDupConfig
+    # default, so "base" now equals "hash32" and "hash64" is the
+    # counterfactual.
     "hash32": {"__cfg": {"band_hash_bits": 32}},
+    "hash64": {"__cfg": {"band_hash_bits": 64}},
     # shuffle files on tmpfs: removes filesystem/journal overhead from
     # the band exchange (page cache already absorbs most of it -> tests
     # whether any residual IO path matters)
