@@ -133,11 +133,18 @@ def decode_avi_mjpeg(payload: bytes):
     end = min(8 + riff_size, len(payload))
 
     meta = {"fps": 0.0, "n_frames": 0, "width": 0, "height": 0}
-    frames: list[bytes] = []
+    # frames keyed by their 2-digit stream id: stream numbers follow
+    # strl order in hdrl, so a muxer that lists audio first stores
+    # video as "01dc" — collect all, then keep the vids stream's
+    all_frames: dict[bytes, list[bytes]] = {}
     saw_vids_mjpg = False
+    vids_stream_id = b"00"
+    strl_count = 0
 
     def parse_strl(body, size):
-        nonlocal saw_vids_mjpg
+        nonlocal saw_vids_mjpg, vids_stream_id, strl_count
+        stream_id = b"%02d" % strl_count
+        strl_count += 1
         is_vids = False
         for cc, b, s in _walk_chunks(payload, body, body + size):
             if cc == b"strh" and s >= 48:
@@ -162,13 +169,14 @@ def decode_avi_mjpeg(payload: bytes):
                         f"AVI video compression {comp!r} is not MJPG"
                     )
                 saw_vids_mjpg = True
+                vids_stream_id = stream_id
 
     def parse_movi(body, size):
         for cc, b, s in _walk_chunks(payload, body, body + size):
             if cc == b"LIST" and payload[b:b + 4] == b"rec ":
                 parse_movi(b + 4, s - 4)
-            elif cc[2:] in (b"dc", b"db") and cc[:2] == b"00":
-                frames.append(payload[b:b + s])
+            elif cc[2:] in (b"dc", b"db") and cc[:2].isdigit():
+                all_frames.setdefault(cc[:2], []).append(payload[b:b + s])
 
     for cc, b, s in _walk_chunks(payload, 12, end):
         if cc != b"LIST":
@@ -183,6 +191,7 @@ def decode_avi_mjpeg(payload: bytes):
 
     if not saw_vids_mjpg:
         raise ValueError("AVI has no MJPG video stream")
+    frames = all_frames.get(vids_stream_id, [])
     if not frames:
         raise ValueError("AVI movi list has no video frames")
     if not meta["n_frames"]:

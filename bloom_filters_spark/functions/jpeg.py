@@ -253,6 +253,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > n:
+            # fill-byte skipping may leave fewer than the 2 length
+            # bytes the loop guard otherwise guarantees
+            raise ValueError("truncated JPEG segment")
         seg_len = struct.unpack(">H", payload[pos:pos + 2])[0]
         seg = payload[pos + 2:pos + seg_len]
         if len(seg) != seg_len - 2:

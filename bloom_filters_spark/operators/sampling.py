@@ -193,6 +193,20 @@ def _presample_precut(
     """
     if margin <= 0:
         raise ValueError(f"presample_margin must be > 0, got {margin}")
+    # the shortfall protocol collects the per-stratum histogram —
+    # guard it like token_budget_select's max_buckets.  The collected
+    # rows then REPLACE the counts plan (a literal driver-built frame),
+    # so the action-time broadcast join below never recomputes the
+    # corpus-wide aggregate behind `counts`.
+    quota_rows = counts.collect()
+    if len(quota_rows) > max_strata:
+        raise ValueError(
+            f"{len(quota_rows)} strata exceeds max_strata="
+            f"{max_strata}; the presample shortfall check collects "
+            "the per-stratum histogram to the driver — use the "
+            "plain path (presample_margin=None) or coarser strata"
+        )
+    counts = df.sparkSession.createDataFrame(quota_rows, counts.schema)
     # per-stratum prefilter BEFORE the rank sort: keep rows whose
     # 32-bit hash prefix is under quota/N*margin of the hash space
     counts = counts.withColumn(
@@ -207,16 +221,6 @@ def _presample_precut(
             ).cast("double"),
         ).cast("long"),
     )
-    # the shortfall protocol collects the per-stratum histogram
-    # twice — guard it like token_budget_select's max_buckets
-    quota_rows = counts.collect()
-    if len(quota_rows) > max_strata:
-        raise ValueError(
-            f"{len(quota_rows)} strata exceeds max_strata="
-            f"{max_strata}; the presample shortfall check collects "
-            "the per-stratum histogram to the driver — use the "
-            "plain path (presample_margin=None) or coarser strata"
-        )
     hv = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
     base = (
         df.withColumn("_h", h)
@@ -353,14 +357,24 @@ def stratified_sample(
     counts = counts.withColumnRenamed(strata_col, "_strat")
     on = F.col(strata_col).eqNullSafe(F.col("_strat"))
     aux = ["_h", "_rk", "_strat", "_n", "_w", "_wtot", "_quota"]
-    if presample_margin == "auto":
+    # persist the histogram across the auto decision + precut collect
+    # (two driver actions over the same aggregate), released before
+    # return — the precut rebuilds counts as a literal frame, so the
+    # returned plan never re-scans the corpus for it
+    auto = presample_margin == "auto"
+    if auto:
+        counts = counts.persist()
         presample_margin = _resolve_auto_margin(counts, max_strata)
     if presample_margin is not None:
         pre = _presample_precut(
             df, h, counts, on, presample_margin, max_strata
         )
+        if auto:
+            counts.unpersist()
         ranked = pre.withColumn("_rk", F.row_number().over(w))
         return ranked.filter(F.col("_rk") <= F.col("_quota")).drop(*aux)
+    if auto:
+        counts.unpersist()
     out = (
         ranked.join(F.broadcast(counts), on)
         .filter(F.col("_rk") <= F.col("_quota"))
@@ -393,26 +407,33 @@ def per_stratum_cap(
         raise ValueError(f"k must be >= 0, got {k}")
     w = Window.partitionBy(strata_col).orderBy("_h", key_col)
     h = rank_hash_expr(key_col, salt)
-    if presample_margin == "auto":
-        presample_margin = _resolve_auto_margin(
-            df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")),
-            max_strata,
-        )
-    if presample_margin is None:
-        return (
-            df.withColumn("_h", h)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= F.lit(int(k)))
-            .drop("_h", "_rk")
-        )
+    # ONE per-stratum histogram serves both the auto decision and the
+    # precut (persisted across the two driver actions, released before
+    # return — the precut rebuilds it as a literal frame from the rows
+    # it collects anyway, so nothing downstream re-scans the corpus)
     counts = (
         df.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .withColumn("_quota", F.least(F.lit(int(k)), F.col("_n")))
         .withColumnRenamed(strata_col, "_strat")
     )
+    auto = presample_margin == "auto"
+    if auto:
+        counts = counts.persist()
+        presample_margin = _resolve_auto_margin(counts, max_strata)
+    if presample_margin is None:
+        if auto:
+            counts.unpersist()
+        return (
+            df.withColumn("_h", h)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.lit(int(k)))
+            .drop("_h", "_rk")
+        )
     on = F.col(strata_col).eqNullSafe(F.col("_strat"))
     pre = _presample_precut(df, h, counts, on, presample_margin, max_strata)
+    if auto:
+        counts.unpersist()
     return (
         pre.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.lit(int(k)))

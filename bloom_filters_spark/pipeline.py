@@ -80,7 +80,7 @@ class NearDupConfig:
     # stage.  Biggest single win on bandwidth-bound hosts.
     fuse_bands: bool = True
     # band-hash width on the arrow band impls (fused or two-stage):
-    # 32 (default) or 64.  32 xor-
+    # 32 xor-
     # folds the hash, cutting the widest shuffle's rows 16 → 12 bytes at
     # the price of ~n_rows²/2³³ colliding candidate groups.  Merged
     # groups usually only ADD verify work; to keep a collision from
@@ -93,8 +93,12 @@ class NearDupConfig:
     # the band exchange is bandwidth-bound, so 25% fewer bytes in the
     # widest shuffle shows up directly).  Pin 64 to read band tables
     # checkpointed before the switch (checkpoint.py and the incremental
-    # path raise on a width mismatch rather than mis-join).
-    band_hash_bits: int = 32
+    # path raise on a width mismatch rather than mis-join).  None (the
+    # default) means impl-appropriate: 32 on the arrow kernels, 64 on
+    # the JVM expression impls (which only emit the full 64-bit hash —
+    # an EXPLICIT 32 with a JVM impl raises rather than lie about the
+    # emitted width).
+    band_hash_bits: int | None = None
     # CMS frequent-shingle (boilerplate) pruning: shingles appearing in
     # more than this fraction of documents are dropped before MinHash —
     # navigation chrome / legal footers otherwise dominate signatures
@@ -135,12 +139,22 @@ class NearDupConfig:
     def __post_init__(self):
         if self.num_hashes % self.bands != 0:
             raise ValueError("num_hashes must be divisible by bands")
-        if self.band_hash_bits not in (32, 64):
-            raise ValueError("band_hash_bits must be 32 or 64")
+        if self.band_hash_bits not in (None, 32, 64):
+            raise ValueError("band_hash_bits must be 32, 64, or None")
 
     @property
     def rows_per_band(self) -> int:
         return self.num_hashes // self.bands
+
+    @property
+    def resolved_band_hash_bits(self) -> int:
+        """``band_hash_bits`` with the ``None`` default resolved to the
+        impl that will actually band: 32 on the arrow kernels (the
+        shipped default path), 64 when only the JVM expression impls
+        run (they always emit the full 64-bit Horner hash)."""
+        if self.band_hash_bits is not None:
+            return self.band_hash_bits
+        return 32 if (self.fuse_bands or self.band_impl == "arrow") else 64
 
     def factory(self) -> MinHashFactory:
         return MinHashFactory(self.num_hashes, self.max_value, self.seed)
@@ -218,10 +232,11 @@ def lsh_bands(sigs: DataFrame, cfg: NearDupConfig, id_col: str = "doc_id") -> Da
         from bloom_filters_spark.operators.arrow_sig import bands_arrow
 
         return bands_arrow(sigs, cfg.bands, cfg.rows_per_band, id_col,
-                           hash_bits=cfg.band_hash_bits)
-    if cfg.band_hash_bits != 64:
+                           hash_bits=cfg.resolved_band_hash_bits)
+    if cfg.band_hash_bits == 32:
         # the JVM expression impls always emit the full 64-bit Horner
-        # hash; refuse rather than emit a width the config disclaims
+        # hash; refuse an EXPLICIT 32 rather than emit a width the
+        # config disclaims (the None default resolves to 64 here)
         raise ValueError(
             f"band_impl={cfg.band_impl!r} only emits 64-bit band hashes; "
             "set band_hash_bits=64 (the arrow impls support 32)"
@@ -573,7 +588,7 @@ def near_dup_pipeline(
         bands = fused_band_rows(
             df, cfg.factory(), cfg.bands, cfg.rows_per_band,
             cfg.shingle_size, cfg.max_value, id_col, text_col,
-            hot_shingles=hot, hash_bits=cfg.band_hash_bits,
+            hot_shingles=hot, hash_bits=cfg.resolved_band_hash_bits,
         )
         candidates = candidate_pairs(
             bands, cfg.max_band_group, id_col, mode=_pair_mode()
@@ -701,7 +716,7 @@ def incremental_candidates(
         corpus_bands = fused_band_rows(
             corpus_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
             cfg.shingle_size, cfg.max_value, id_col, text_col,
-            hot_shingles=hot, hash_bits=cfg.band_hash_bits,
+            hot_shingles=hot, hash_bits=cfg.resolved_band_hash_bits,
         )
     else:
         if cfg.boilerplate_max_df is not None and hot is None:
@@ -716,18 +731,18 @@ def incremental_candidates(
         # a checkpointed band table must carry the SAME hash width the
         # increment will emit: the implicit int->long cast in the join
         # would return zero matches without an error
-        expect = "int" if cfg.band_hash_bits == 32 else "bigint"
+        expect = "int" if cfg.resolved_band_hash_bits == 32 else "bigint"
         actual = dict(corpus_bands.dtypes).get("band_hash")
         if actual != expect:
             raise ValueError(
                 f"corpus_bands.band_hash is {actual} but "
-                f"cfg.band_hash_bits={cfg.band_hash_bits} emits {expect}: "
+                f"cfg band width {cfg.resolved_band_hash_bits} emits {expect}: "
                 "band hashes would never match across the join"
             )
     new_bands = fused_band_rows(
         new_docs, cfg.factory(), cfg.bands, cfg.rows_per_band,
         cfg.shingle_size, cfg.max_value, id_col, text_col,
-        hot_shingles=hot, hash_bits=cfg.band_hash_bits,
+        hot_shingles=hot, hash_bits=cfg.resolved_band_hash_bits,
     )
     bn = new_bands.select(
         "band_id", "band_hash", F.col(id_col).alias("id1")

@@ -165,7 +165,7 @@ def run_incremental_near_dup(
                 if old_t != new_t:
                     raise ValueError(
                         f"band store {band_store} holds {old_t} band "
-                        f"hashes but cfg.band_hash_bits={cfg.band_hash_bits} "
+                        f"hashes but cfg band width {cfg.resolved_band_hash_bits} "
                         f"emits {new_t}: pin band_hash_bits to the width "
                         "the store was created with"
                     )

@@ -683,3 +683,49 @@ def test_avi_container_roundtrip_and_errors():
         decode_avi_mjpeg(doctored)
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg([])
+
+
+def test_avi_audio_first_mux_video_stream_01():
+    """Stream numbers follow strl order (AVI 1.0): a muxer that lists
+    the audio strl first stores video frames as '01dc' chunks — the
+    walk must key frames off the vids strl's ordinal, not assume 00."""
+    import struct
+
+    from bloom_filters_spark.functions.avi import (
+        decode_avi_frame,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames = [((xx * 5 + yy * 3 + t * 40) % 256).astype(np.uint8)
+              for t in range(3)]
+    avi = bytearray(encode_avi_mjpeg(frames, fps=4, quality=90))
+
+    # inject a dummy audio strl BEFORE the video strl in hdrl so the
+    # video stream becomes stream 01, and rename its movi/idx1 chunks
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00",
+        0, 0, 0, 0, 1, 8000, 0, 8000, 0, 0xFFFFFFFF & -1, 1, 0, 0, 0, 0,
+    )
+    auds_strl = (b"LIST"
+                 + struct.pack("<I", 4 + 8 + len(auds_strh) + 8 + 16)
+                 + b"strl"
+                 + b"strh" + struct.pack("<I", len(auds_strh)) + auds_strh
+                 + b"strf" + struct.pack("<I", 16) + b"\x00" * 16)
+    vids_strl_at = bytes(avi).find(b"strl")  # inside LIST('hdrl')
+    insert_at = vids_strl_at - 8             # before the LIST header
+    avi = (avi[:insert_at] + auds_strl + avi[insert_at:]
+           ).replace(b"00dc", b"01dc")
+    # grow the RIFF and hdrl LIST sizes by the injected strl
+    grow = len(auds_strl)
+    avi = bytearray(avi)
+    (riff_sz,) = struct.unpack("<I", avi[4:8])
+    avi[4:8] = struct.pack("<I", riff_sz + grow)
+    hdrl_at = bytes(avi).find(b"LIST", 12)
+    (hdrl_sz,) = struct.unpack("<I", avi[hdrl_at + 4:hdrl_at + 8])
+    avi[hdrl_at + 4:hdrl_at + 8] = struct.pack("<I", hdrl_sz + grow)
+
+    meta, chunks = decode_avi_mjpeg(bytes(avi))
+    assert meta["n_frames"] == 3 and len(chunks) == 3
+    assert decode_avi_frame(chunks[0]).shape == (16, 24)

@@ -480,6 +480,29 @@ def test_band_hash_bits_32_same_clusters(spark, documents_texts):
         NearDupConfig(band_hash_bits=16)
 
 
+def test_band_hash_bits_default_resolution():
+    """The None default resolves per impl: 32 where the arrow kernels
+    band, 64 where only the JVM expression impls run — so a pre-switch
+    config like NearDupConfig(band_impl='jvm_unrolled') keeps working
+    without pinning band_hash_bits=64 by hand."""
+    assert NearDupConfig().resolved_band_hash_bits == 32
+    assert NearDupConfig(
+        fuse_bands=False, band_impl="jvm_unrolled"
+    ).resolved_band_hash_bits == 64
+    assert NearDupConfig(
+        fuse_bands=False, band_impl="jvm_hof"
+    ).resolved_band_hash_bits == 64
+    # fused path is arrow regardless of band_impl
+    assert NearDupConfig(band_impl="jvm_unrolled").resolved_band_hash_bits == 32
+    assert NearDupConfig(band_hash_bits=64).resolved_band_hash_bits == 64
+    # an EXPLICIT 32 with a JVM band impl is a contradiction: refuse
+    from bloom_filters_spark.pipeline import lsh_bands
+    with pytest.raises(ValueError, match="64-bit"):
+        lsh_bands(None, NearDupConfig(
+            fuse_bands=False, band_impl="jvm_unrolled", band_hash_bits=32
+        ))
+
+
 def test_near_dup_against_increment(spark):
     """Incremental dedup: new docs pair only against the corpus, the
     corpus is never re-paired against itself, and a pre-computed band

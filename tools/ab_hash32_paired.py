@@ -31,14 +31,18 @@ def main():
     out = {"n_docs": n_docs, "order": "ABBA per level", "levels": {}}
     for cores in (32, 8):
         seq = []
-        for variant in ("base", "hash32", "hash32", "base"):
+        # pinned variants, NOT ("base", "hash32"): after this experiment
+        # 32-bit became the NearDupConfig default, so "base" would now
+        # equal "hash32" and a re-run would measure noise against itself
+        for variant in ("hash64", "hash32", "hash32", "hash64"):
             t0 = time.time()
             r = run(cores, variant, n_docs)
             r["wall_sec"] = round(time.time() - t0, 1)
             r["load_before"] = os.getloadavg()[0]
             seq.append(r)
             print(json.dumps(r), flush=True)
-        base_min = min(r["warm_sec"] for r in seq if r["variant"] == "base")
+        base_min = min(r["warm_sec"] for r in seq
+                       if r["variant"] in ("base", "hash64"))
         h32_min = min(r["warm_sec"] for r in seq if r["variant"] == "hash32")
         out["levels"][str(cores)] = {
             "runs": seq,
@@ -52,7 +56,11 @@ def main():
     path = "/root/repo/BENCH/scaling_8_32.json"
     with open(path) as fh:
         doc = json.load(fh)
-    doc["hash32_paired_r5"] = out
+    # never clobber the committed adoption evidence: re-runs append
+    key = "hash32_paired_r5"
+    while key in doc:
+        key += "_rerun"
+    doc[key] = out
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
 
