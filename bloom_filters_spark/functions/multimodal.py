@@ -311,13 +311,19 @@ def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataF
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_image(bytes(payload), fake_decode=fake_decode)
+                # grayscale JPEG decodes to (h, w): its mean is a 0-d
+                # scalar, which the array<double> schema must see as a
+                # one-element list
+                means = img.mean(axis=(0, 1))
+                means = ([float(means)] if np.ndim(means) == 0
+                         else [float(x) for x in means])
                 rows.append(
                     {
                         "media_id": media_id,
                         "width": img.shape[1],
                         "height": img.shape[0],
                         "n_bytes": len(payload),
-                        "channel_means": img.mean(axis=(0, 1)).tolist(),
+                        "channel_means": means,
                         "phash": _phash(img),
                     }
                 )
@@ -415,17 +421,43 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _phash_block_array(col, max_hamming: int):
+    """Pigeonhole blocks for a 64-bit phash: ``max_hamming + 1`` blocks
+    guarantee two hashes within ``max_hamming`` share at least one
+    block EQUAL (k flipped bits can dirty at most k of k+1 blocks) —
+    the same completeness argument as SimHash text dedup
+    (operators/dedup.py, 4 blocks for its max_hamming=3).  Widths are
+    near-equal: 64 = n*(64//n) + (64 % n) extra bits spread one-per-
+    block from the low end."""
+    n = max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n)
+    parts, off = [], 0
+    for b in range(n):
+        width = base + (1 if b < extra else 0)
+        shifted = F.shiftrightunsigned(col, off)
+        # a full-width block needs no mask (and (1<<64)-1 would
+        # overflow the int64 literal)
+        parts.append(
+            shifted if width == 64
+            else shifted.bitwiseAND(F.lit((1 << width) - 1))
+        )
+        off += width
+    return F.array(*parts)
+
+
 def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Perceptual-hash near-dup pairs over extracted features — the same
-    4-block pigeonhole join as SimHash text dedup (operators/dedup.py)."""
+    """Perceptual-hash near-dup pairs over extracted features — the
+    pigeonhole equi-join as in SimHash text dedup (operators/dedup.py),
+    with ``max_hamming + 1`` blocks so the candidate set is COMPLETE
+    for the requested distance (4 equal-width blocks would miss a
+    distance-4 pair with one flipped bit per block)."""
     blocks = features.select(
         "media_id",
         "phash",
         F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("phash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
-            ])
+            _phash_block_array(F.col("phash"), max_hamming)
         ).alias("block_id", "block_val"),
     )
     a = blocks.select("block_id", "block_val",
@@ -445,8 +477,9 @@ def near_dup_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
 def near_dup_videos(frames: DataFrame, max_hamming: int = 4,
                     min_frame_fraction: float = 1.0) -> DataFrame:
     """Near-duplicate video pairs from sampled frames: the image
-    pigeonhole join, frame-aligned — candidates must share a 16-bit
-    phash block AT THE SAME frame index, so two videos only pair
+    pigeonhole join, frame-aligned — candidates must share a phash
+    block (``max_hamming + 1`` blocks, complete for the requested
+    distance) AT THE SAME frame index, so two videos only pair
     through positionally-matching content.  A pair survives when at
     least ``min_frame_fraction`` of the smaller video's sampled frames
     match within ``max_hamming``.  Output: (id1, id2, n_frames_matched,
@@ -458,12 +491,7 @@ def near_dup_videos(frames: DataFrame, max_hamming: int = 4,
     blocks = frames.select(
         "media_id", "frame_idx", "frame_phash",
         F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(
-                    F.col("frame_phash"), b * 16
-                ).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
-            ])
+            _phash_block_array(F.col("frame_phash"), max_hamming)
         ).alias("block_id", "block_val"),
     )
     a = blocks.select(

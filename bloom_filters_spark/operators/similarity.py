@@ -150,9 +150,17 @@ def _exact_nn_block(items: DataFrame, id_col: str, vec_col: str,
             F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         ).alias("rows")
     )
-    cells = packed.select(
-        F.col("rows").alias("rows_l")
-    ).crossJoin(packed.select(F.col("rows").alias("rows_r")))
+    # unordered block pairs only: tile (j,i) is the transpose of (i,j),
+    # so one matmul serves both orientations — halves the O(n²) kernel
+    # work this operator's docstring names as the scaling bottleneck
+    cells = (
+        packed.select(F.col("_b").alias("_bl"), F.col("rows").alias("rows_l"))
+        .crossJoin(
+            packed.select(F.col("_b").alias("_br"), F.col("rows").alias("rows_r"))
+        )
+        .filter(F.col("_bl") <= F.col("_br"))
+        .select("_bl", "_br", "rows_l", "rows_r")
+    )
 
     def _unpack(list_col, i):
         sa = list_col.slice(i, 1).flatten()  # offset-aware
@@ -162,9 +170,23 @@ def _exact_nn_block(items: DataFrame, id_col: str, vec_col: str,
         m = flat.astype(np.float64).reshape(len(ids), -1) if len(ids) else None
         return ids, m
 
+    def _winners(sims, src_ids, dst_ids):
+        """Per-row tile-local winner arrays (src, dst, cosine) with the
+        smallest-dst-id tie-break; rows with no finite entry dropped."""
+        best = sims.max(axis=1)
+        has = best > -np.inf
+        if not has.any():
+            return None
+        cand = np.where(
+            sims == best[:, None], dst_ids[None, :], np.iinfo(np.int64).max
+        )
+        return src_ids[has], cand.min(axis=1)[has], best[has]
+
     def tile(batches):
         for batch in batches:
-            rows_l, rows_r = batch.column(0), batch.column(1)
+            bl_arr = batch.column(0).to_numpy(zero_copy_only=False)
+            br_arr = batch.column(1).to_numpy(zero_copy_only=False)
+            rows_l, rows_r = batch.column(2), batch.column(3)
             for i in range(len(batch)):
                 ids_l, ml = _unpack(rows_l, i)
                 ids_r, mr = _unpack(rows_r, i)
@@ -177,23 +199,21 @@ def _exact_nn_block(items: DataFrame, id_col: str, vec_col: str,
                 sims = np.round((ml / nl[:, None]) @ (mr / nr[:, None]).T, 6)
                 self_mask = ids_l[:, None] == ids_r[None, :]
                 sims[self_mask] = -np.inf
-                best = sims.max(axis=1)
-                has = best > -np.inf
-                if not has.any():
-                    continue
-                # tie-break: among max-cosine columns, smallest dst id
-                cand = np.where(
-                    sims == best[:, None], ids_r[None, :], np.iinfo(np.int64).max
-                )
-                dst = cand.min(axis=1)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids_l[has]),
-                        pa.array(dst[has]),
-                        pa.array(best[has]),
-                    ],
-                    names=["src", "dst", "cosine"],
-                )
+                out = _winners(sims, ids_l, ids_r)
+                if out is not None:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(c) for c in out],
+                        names=["src", "dst", "cosine"],
+                    )
+                if bl_arr[i] != br_arr[i]:
+                    # off-diagonal tile: the transpose serves the other
+                    # orientation without a second matmul
+                    out = _winners(sims.T, ids_r, ids_l)
+                    if out is not None:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(c) for c in out],
+                            names=["src", "dst", "cosine"],
+                        )
 
     cand = cells.mapInArrow(tile, "src long, dst long, cosine double")
     best = (
@@ -738,6 +758,15 @@ def pq_cosine_topk(
     )
     q_id_type = _sql_type(queries, query_id_col)
     i_id_type = _sql_type(items, id_col)
+    if not qrows:
+        # an empty query slice returns an empty result like the other
+        # top-k variants (np.linalg.norm on a (0,)-shaped matrix would
+        # raise AxisError on the driver otherwise)
+        return items.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} {q_id_type}, {id_col} {i_id_type}, "
+            "cosine double, rank int",
+        )
     # coerce the collected query ids to the exact width the declared
     # Arrow schema expects (np.array defaults to int64 for python ints)
     np_id = {"tinyint": np.int8, "smallint": np.int16,

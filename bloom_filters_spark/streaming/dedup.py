@@ -129,16 +129,61 @@ def run_incremental_near_dup(
     band_store = os.path.join(store_dir, "bands")
     pair_store = os.path.join(store_dir, "pairs")
 
+    # the stores are only joinable by a config that produced them: a
+    # restart with changed shingle/signature/band params would not
+    # error — the cross join would just quietly miss (and zip_with
+    # pads mismatched signature lengths with nulls, so the verify
+    # filter drops every cross-epoch pair).  A sidecar pins the
+    # compatibility-relevant fields at store creation and refuses a
+    # mismatched restart.  (Driver-local file ops, like
+    # compact_epochs; an object-store deployment swaps in its client.)
+    import json as _json
+
+    cfg_fields = {
+        "shingle_size": cfg.shingle_size,
+        "num_hashes": cfg.num_hashes,
+        "bands": cfg.bands,
+        "seed": cfg.seed,
+        "max_value": cfg.max_value,
+        "lowercase": cfg.lowercase,
+        "band_hash_bits": cfg.resolved_band_hash_bits,
+    }
+    os.makedirs(store_dir, exist_ok=True)
+    sidecar = os.path.join(store_dir, "_store_config.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            prior = _json.load(fh)
+        diff = {k: (prior.get(k), v) for k, v in cfg_fields.items()
+                if prior.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"store {store_dir} was created with a different config "
+                f"(stored vs requested): {diff} — cross-epoch joins "
+                "would silently miss; restart with the original params "
+                "or point at a fresh store_dir"
+            )
+    else:
+        with open(sidecar, "w") as fh:
+            _json.dump(cfg_fields, fh)
+
     def _epoch_dir(base: str, epoch_id: int) -> str:
         return os.path.join(base, f"epoch={int(epoch_id)}")
 
     def _read_prior_epochs(base: str, epoch_id: int):
         """All rows from epochs strictly before this one (replay-safe),
-        or None if the store does not exist yet."""
+        or None if the store does not exist yet.  Only path-not-found
+        maps to None — any other read failure must raise, or a
+        transient store error would silently drop every cross-epoch
+        candidate for the batch."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(base)
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
         return df.where(F.col("epoch") < F.lit(int(epoch_id))).drop("epoch")
 
     def process_batch(batch_df, epoch_id):
@@ -169,7 +214,6 @@ def run_incremental_near_dup(
                         f"emits {new_t}: pin band_hash_bits to the width "
                         "the store was created with"
                     )
-            if old_bands is not None:
                 cross = (
                     new_bands.join(
                         old_bands.withColumnRenamed(id_col, "id_old"),

@@ -69,6 +69,42 @@ def _plan_fingerprint(plan_keys, args) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()
 
 
+def _fs_for(spark, path_str):
+    """Hadoop FileSystem + Path for ``path_str`` — the SAME filesystem
+    Spark writes the stage parquet to (defaultFS-resolved), so the
+    resume protocol works under spark-submit on a cluster.  Driver-
+    local ``os.path`` would silently never resume there: _SUCCESS
+    lands on HDFS/S3 while the check reads the driver's local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _fs_exists(spark, path_str) -> bool:
+    fs, path = _fs_for(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def _fs_read_text(spark, path_str) -> str:
+    fs, path = _fs_for(spark, path_str)
+    stream = fs.open(path)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark, path_str, data: str) -> None:
+    fs, path = _fs_for(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _run_plan(spark, df, plan, stages, args):
     """Run the stage plan; with --stage-dir, each stage's output
     parquet is a committed checkpoint (Spark's _SUCCESS marker + a
@@ -99,13 +135,13 @@ def _run_plan(spark, df, plan, stages, args):
                 raise SystemExit(3)
         return df, []
 
-    os.makedirs(args.stage_dir, exist_ok=True)
+    fs, stage_root = _fs_for(spark, args.stage_dir)
+    fs.mkdirs(stage_root)
     manifest_path = os.path.join(args.stage_dir, "manifest.json")
     fp = _plan_fingerprint((k for k, _ in plan), args)
     manifest = None
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as fh:
-            manifest = json.load(fh)
+    if _fs_exists(spark, manifest_path):
+        manifest = json.loads(_fs_read_text(spark, manifest_path))
         if manifest.get("fingerprint") != fp:
             manifest = None  # different plan/input → start fresh
 
@@ -118,7 +154,7 @@ def _run_plan(spark, df, plan, stages, args):
     start = 0
     for i, (key, _) in enumerate(plan):
         path = stage_path(i, key)
-        if key in done and os.path.exists(os.path.join(path, "_SUCCESS")):
+        if key in done and _fs_exists(spark, os.path.join(path, "_SUCCESS")):
             stages[key] = done[key]
             skipped.append(key)
             start = i + 1
@@ -137,8 +173,10 @@ def _run_plan(spark, df, plan, stages, args):
         completed.append((key, stages[key]))
         # manifest written AFTER the stage parquet commits: a crash
         # between the two re-runs only the crashed stage
-        with open(manifest_path, "w") as fh:
-            json.dump({"fingerprint": fp, "completed": completed}, fh)
+        _fs_write_text(
+            spark, manifest_path,
+            json.dumps({"fingerprint": fp, "completed": completed}),
+        )
         if args.fail_after == key:
             print(json.dumps({"failed_after": key}))
             raise SystemExit(3)

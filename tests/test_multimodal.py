@@ -198,6 +198,49 @@ def test_extract_image_features(spark, media_df):
     assert again == {k: v["phash"] for k, v in rows.items()}
 
 
+def test_extract_image_features_grayscale_jpeg(spark):
+    """Grayscale JPEG decodes to (h, w); channel_means must be the
+    one-element list the array<double> schema declares, not a scalar."""
+    from bloom_filters_spark.functions.jpeg import encode_jpeg
+
+    g = (np.arange(24 * 16) % 256).reshape(24, 16).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_jpeg(g, subsampling="444")))],
+        "media_id long, payload binary",
+    )
+    row = extract_image_features(df).collect()[0]
+    assert row["width"] == 16 and row["height"] == 24
+    assert len(row["channel_means"]) == 1
+    assert row["channel_means"][0] == pytest.approx(float(g.mean()), abs=4)
+
+
+def test_near_dup_images_pigeonhole_complete_at_max_hamming(spark):
+    """A distance-4 pair with one flipped bit per 16-bit quarter has NO
+    equal 16-bit block — the (max_hamming + 1)-block pigeonhole must
+    still produce it at the default max_hamming=4."""
+    p1 = 0x0123456789ABCDEF
+    p2 = p1 ^ 0x0001000100010001  # one bit flipped in each 16-bit block
+    feats = spark.createDataFrame(
+        [(0, 8, 8, 64, [1.0], p1), (1, 8, 8, 64, [1.0], p2)],
+        "media_id long, width int, height int, n_bytes long, "
+        "channel_means array<double>, phash long",
+    )
+    rows = {(r["id1"], r["id2"]): r["hamming"]
+            for r in near_dup_images(feats, 4).collect()}
+    assert rows == {(0, 1): 4}
+    # and distance 5 stays out at max_hamming=4 (bit 63 flip → wrap to
+    # the signed int64 the phash column stores)
+    p3 = p2 ^ (1 << 63)
+    if p3 >= 1 << 63:
+        p3 -= 1 << 64
+    feats2 = spark.createDataFrame(
+        [(0, 8, 8, 64, [1.0], p1), (1, 8, 8, 64, [1.0], p3)],
+        "media_id long, width int, height int, n_bytes long, "
+        "channel_means array<double>, phash long",
+    )
+    assert near_dup_images(feats2, 4).count() == 0
+
+
 def test_near_dup_images_finds_planted_pair(spark, media_df):
     feats = extract_image_features(
         media_df.filter(F.col("kind") == "image"), fake_decode=True

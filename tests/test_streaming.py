@@ -112,6 +112,40 @@ def test_incremental_near_dup_foreachbatch(spark, tmp_path):
         assert abs(id1 - id2) == 1  # only planted (2k, 2k+1) pairs exist
 
 
+def test_incremental_store_config_mismatch_raises(spark, tmp_path):
+    """Restarting a stream against an existing store with changed
+    signature/band params must refuse: the cross-epoch join would not
+    error, it would just silently miss every prior-epoch dup."""
+    import numpy as np
+
+    from bloom_filters_spark.pipeline import NearDupConfig
+    from bloom_filters_spark.streaming.dedup import run_incremental_near_dup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = generate_pages_pdf(np.arange(20), seed=3)
+    spark.createDataFrame(pdf, PAGES_SCHEMA).write.parquet(src + "/b1")
+    static = spark.read.parquet(src + "/*")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src + "/*")
+        .select("doc_id", "text")
+    )
+    store = str(tmp_path / "store")
+    q = run_incremental_near_dup(
+        spark, stream, NearDupConfig(threshold=0.8), store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    with pytest.raises(ValueError, match="different config"):
+        run_incremental_near_dup(
+            spark, stream, NearDupConfig(threshold=0.8, num_hashes=64,
+                                         bands=16),
+            store, checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+
+
 def test_incremental_near_dup_within_batch_pairs(spark, tmp_path):
     """Two near-dups arriving in the SAME micro-batch must be paired —
     the new bands self-join, not only the new×old store join."""
