@@ -2119,7 +2119,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": r"""
           WITH toks AS (
             SELECT doc_id,
-                   str_split_regex(trim(lower(text)), '\s+') AS t
+                   list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS t
             FROM documents
           ), tf AS (
             SELECT doc_id, unnest(t) AS term FROM toks
@@ -2639,7 +2640,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": r"""
           WITH toks AS (
             SELECT doc_id,
-                   str_split_regex(trim(lower(text)), '\s+') AS t
+                   list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS t
             FROM documents
           ), grams AS (
             SELECT doc_id, unnest(t) AS g FROM toks

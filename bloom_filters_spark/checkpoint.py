@@ -134,28 +134,56 @@ class CheckpointedNearDup:
                          text_col: str = "text") -> DataFrame:
         sig_dir = self._sig_dir()
         man = read_manifest(sig_dir)
+        # bucket assignment is pmod(hash, n_buckets), so a manifest
+        # written under a different n_buckets describes DIFFERENT
+        # buckets — resuming against it would duplicate or stale rows
         done: dict[str, dict] = (
-            man["buckets"] if man and man.get("fingerprint") == self.fingerprint else {}
+            man["buckets"]
+            if man
+            and man.get("fingerprint") == self.fingerprint
+            and man.get("n_buckets") == self.ckpt.n_buckets
+            else {}
         )
         all_buckets = set(range(self.ckpt.n_buckets))
         missing = sorted(all_buckets - {int(b) for b in done})
         if missing:
             t0 = time.time()
+            if not done and os.path.exists(sig_dir):
+                # fresh start over an existing dir (config/n_buckets
+                # changed): dynamic partition overwrite only replaces
+                # partitions this run writes, so stale old-config
+                # bucket dirs would survive and feed _read() — clear
+                # the stage wholesale first
+                import shutil
+
+                shutil.rmtree(sig_dir)
             bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(self.ckpt.n_buckets))
             todo = df.withColumn("bucket", bucket).filter(
                 F.col("bucket").isin(missing)
             )
-            sigs = signatures(todo, self.cfg, id_col, text_col).join(
-                todo.select(id_col, "bucket"), id_col
+            # bucket is a pure function of the id column: attach it
+            # with the same expression instead of re-scanning df
+            # through a join
+            sigs = signatures(todo, self.cfg, id_col, text_col).withColumn(
+                "bucket", bucket
             )
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            self._write(
-                sigs.repartition(len(missing), "bucket"),
-                sig_dir,
-                partition_by="bucket",
-            )
+            overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                prev_mode = self.spark.conf.get(overwrite_key)
+            except Exception:
+                prev_mode = None
+            self.spark.conf.set(overwrite_key, "dynamic")
+            try:
+                self._write(
+                    sigs.repartition(len(missing), "bucket"),
+                    sig_dir,
+                    partition_by="bucket",
+                )
+            finally:
+                if prev_mode is None:
+                    self.spark.conf.unset(overwrite_key)
+                else:
+                    self.spark.conf.set(overwrite_key, prev_mode)
             wall_ms = int((time.time() - t0) * 1000)
             # per-bucket lineage from the just-written files
             counts = (
@@ -266,6 +294,23 @@ class CheckpointedNearDup:
                 F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
+            # pointer jumping (label := label of label), same as
+            # components._components_labelprop: doubles the effective
+            # hop distance per iteration so chain-shaped components
+            # converge in O(log diameter) checkpointed iterations
+            jump = stepped.select(
+                F.col(id_col).alias("_jid"), F.col("label").alias("_jlabel")
+            )
+            stepped = (
+                stepped.join(jump, stepped["label"] == jump["_jid"], "left")
+                .select(
+                    id_col,
+                    "old_label",
+                    F.least(
+                        F.col("label"), F.coalesce("_jlabel", "label")
+                    ).alias("label"),
+                )
+            )
             it_dir = os.path.join(root, f"labels_iter_{it}")
             self._write(stepped, it_dir)
             stepped = self._read(it_dir)
@@ -284,6 +329,19 @@ class CheckpointedNearDup:
             labels = stepped.select(id_col, "label")
             self.counters.append(
                 {"stage": "labels", "iteration": it, "changed": changed}
+            )
+
+        if not converged and it >= max_iter and start_iter < max_iter:
+            # same contract as components._components_labelprop: never
+            # checkpoint a silently-split clustering — the manifest
+            # guard would make the wrong result sticky across runs
+            import warnings
+
+            warnings.warn(
+                f"label propagation did not converge in {max_iter} "
+                f"iterations ({changed} labels still changing); "
+                "clusters may be split — raise max_iter",
+                RuntimeWarning,
             )
 
         out = (

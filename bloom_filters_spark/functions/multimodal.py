@@ -428,7 +428,14 @@ def _phash_block_array(col, max_hamming: int):
     the same completeness argument as SimHash text dedup
     (operators/dedup.py, 4 blocks for its max_hamming=3).  Widths are
     near-equal: 64 = n*(64//n) + (64 % n) extra bits spread one-per-
-    block from the low end."""
+    block from the low end.
+
+    Scale trade-off: more blocks means narrower block values, so each
+    (block_id, block_val) bucket holds ~n/2^width candidates — at
+    corpus scale prefer the smallest max_hamming that meets the
+    dedup bar (3 keeps 16-bit blocks) and verify-filters absorb the
+    rest; the exact-hamming filter downstream keeps results correct
+    either way."""
     n = max_hamming + 1
     if not 1 <= n <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")

@@ -36,7 +36,13 @@ __all__ = ["dsir_importance_weights", "dsir_select"]
 def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, gram) rows: whitespace unigrams + adjacent bigrams of the
     lower-cased text — the hashed-feature vocabulary of the paper."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # drop boundary empties: trim() only strips spaces, so '\tfoo'
+    # splits to ['', 'foo'] and whitespace-only docs would get
+    # spurious '' grams in the feature distribution
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
     t = F.col("_t")
     bigrams = F.when(
         F.size(t) >= 2,

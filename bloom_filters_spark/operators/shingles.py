@@ -59,10 +59,14 @@ def string_shingle_sets_udf(w: int, strict: bool = False):
     STRING array, semantically identical to
     ``array_distinct(shingle_strings_expr(tokens_expr(text), w))`` but
     ~10x faster (the JVM higher-order slice/concat chain is interpreted
-    per element).  Tokenization is ``re.split(r"\\s+", text.lower())``
-    with empties dropped — equal to the JVM and DuckDB oracles on ASCII
-    whitespace (all fixture corpora; exotic Unicode whitespace classes
-    differ between engines regardless of which side computes).  One
+    per element).  Tokenization is ASCII whitespace + ASCII-only
+    lowercase — BYTE-IDENTICAL to the Arrow candidate kernels
+    (``_ascii_lower`` + ``_flat_tokenize``), so a pair the candidate
+    pass can produce is exactly a pair this verify tokenizer accepts
+    (a Unicode ``str.lower()``/``\\s`` here would admit pairs the
+    ASCII candidate hashing can never generate — a silent recall gap
+    on non-ASCII text).  Equal to the JVM and DuckDB oracles on the
+    (all-ASCII) fixture corpora.  One
     deliberate divergence: zero-token docs return ``[]`` (matching the
     SQL oracles' ``len(t) > 0`` gate) where the JVM chain's
     ``greatest(n-w+1, 1)`` yields one empty shingle ``['']`` — both are
@@ -73,13 +77,18 @@ def string_shingle_sets_udf(w: int, strict: bool = False):
 
     from pyspark.sql import types as T
 
-    ws = re.compile(r"\s+")
+    # ASCII whitespace only ({9,10,11,12,13,32}) and ASCII-only lower,
+    # matching the byte-level Arrow kernels exactly
+    ws = re.compile("[ \t\n\x0b\x0c\r]+")
+    ascii_lower = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingle_sets(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = [x for x in ws.split(t.lower())] if t else []
+            toks = [x for x in ws.split(t.translate(ascii_lower))] if t else []
             toks = [x for x in toks if x]
             n = len(toks)
             if n == 0 or (strict and n < w):

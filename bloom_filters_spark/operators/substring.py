@@ -34,18 +34,6 @@ from pyspark.sql import functions as F
 from bloom_filters_spark.operators.shingles import ROLL_PRIME, tokens_expr
 
 
-def gram_strings_expr(toks, L: int):
-    """Strict L-token gram strings: documents with fewer than L tokens
-    produce NO grams (an L-token substring cannot exist) — unlike the
-    MinHash shingles, which pad short docs to one shingle."""
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), n - F.lit(L - 1))
-    return F.when(
-        n >= F.lit(L),
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, L))),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def gram_hash_rows(df: DataFrame, L: int = 8, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(id, text) → distinct (id, gram_hash) rows, one fused Arrow pass:

@@ -37,7 +37,12 @@ def tf_idf_top_terms(
     term string, so results are deterministic and cross-engine
     hash-safe.  Returns ``(id, term, tf, score, rank)``.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # boundary empties filtered: trim() only strips spaces, so a
+    # '\tfoo' doc would otherwise contribute a spurious '' term
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
     tf = (
         df.select(id_col, F.explode(toks).alias("term"))
         .groupBy(id_col, "term")

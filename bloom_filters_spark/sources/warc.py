@@ -109,11 +109,24 @@ def _http_body(payload: bytes) -> bytes | None:
     return None  # unknown coding (br, zstd, ...): skip rather than emit garbage
 
 
-def parse_warc(payload: bytes) -> list[dict]:
+def parse_warc(payload: bytes, strict: bool = True) -> list[dict]:
     """WARC file bytes → list of {url, warc_ts, html} for response
-    records.  Accepts plain WARC or (multi-member) gzip."""
+    records.  Accepts plain WARC or (multi-member) gzip.
+
+    ``strict=True`` (default, the test/fixture contract) raises on a
+    framing desync (missing version line, non-numeric Content-Length,
+    corrupt gzip).  ``strict=False`` — the distributed-read policy —
+    returns every record parsed before the desync instead: once
+    framing is lost the rest of the FILE is unwalkable (record
+    boundaries come from Content-Length), but one bad record should
+    not discard a shard's good prefix or fail a 100TB job."""
     if payload[:2] == b"\x1f\x8b":
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except Exception:
+            if strict:
+                raise
+            return []
     out: list[dict] = []
     pos = 0
     n = len(payload)
@@ -124,12 +137,21 @@ def parse_warc(payload: bytes) -> list[dict]:
         if pos >= n:
             break
         if not payload.startswith(b"WARC/", pos):
-            raise ValueError(f"malformed WARC: no version line at byte {pos}")
+            if strict:
+                raise ValueError(
+                    f"malformed WARC: no version line at byte {pos}"
+                )
+            break
         hdr_end = payload.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
             break
         headers = _parse_headers(payload[pos:hdr_end])
-        length = int(headers.get(b"content-length", b"0"))
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            if strict:
+                raise
+            break
         block = payload[hdr_end + 4: hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         if headers.get(b"warc-type") != b"response":
@@ -158,7 +180,9 @@ def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFr
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for rec in parse_warc(bytes(content)):
+                # strict=False: one corrupt record loses that file's
+                # tail, never the whole job or the good prefix
+                for rec in parse_warc(bytes(content), strict=False):
                     rec["lang"] = lang
                     rows.append(rec)
             yield (

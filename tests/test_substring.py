@@ -151,3 +151,28 @@ def test_decontamination_flags(spark):
     # but "t1..t8" appears twice -> counted ONCE (per-doc distinct)
     assert got[4] == (1, True)
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_candidate_and_verify_tokenizers_agree_non_ascii(spark):
+    """The candidate pass hashes ASCII-lowered, ASCII-whitespace
+    tokens; the verify tokenizer must be byte-identical, or pairs
+    sharing a gram under ONE tokenizer but not the other silently
+    come apart.  Non-ASCII case variants must therefore NOT pair
+    (neither side case-folds 'É' to 'é'), and identical non-ASCII
+    bytes must pair."""
+    from bloom_filters_spark.operators.substring import substring_dup_pairs
+
+    eight = " ".join(f"école{i}" for i in range(8))
+    upper = " ".join(f"ÉCOLE{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"a b c {eight} d e f"),
+            (2, f"x y {eight} z w"),       # same bytes → must pair
+            (3, f"x y {upper} z w"),       # case differs only in É → no pair
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id1"], r["id2"])
+             for r in substring_dup_pairs(df, L=8).select("id1", "id2").collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
