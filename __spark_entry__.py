@@ -2199,7 +2199,7 @@ def oracle_sql() -> dict[str, str]:
           ), p AS (
             SELECT doc_id, url,
               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS hostraw,
               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
             FROM u
           ), hp AS (
@@ -2210,18 +2210,25 @@ def oracle_sql() -> dict[str, str]:
                            ELSE regexp_replace(hostraw, '^www\.', '') END AS host
             FROM p
           ), r1 AS (
-            SELECT *, regexp_replace(
-              regexp_replace(
-                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
-                '\?&+', '?', 'g'),
-              '&&+', '&', 'g') AS ra
+            SELECT *, regexp_extract(rest0, '^([^?]*)', 1) AS path0,
+              CASE WHEN rest0 LIKE '%?%'
+                   THEN regexp_replace(rest0, '^[^?]*\?', '')
+                   ELSE '' END AS q0
             FROM hp
           ), r2 AS (
-            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace('&' || q0,
+                    '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                  '&&+', '&', 'g'),
+                '^&+', ''),
+              '&+$', '') AS q1
+            FROM r1
           ), r3 AS (
-            SELECT *, CASE WHEN rb NOT LIKE '%?%'
-                           THEN regexp_replace(rb, '/+$', '')
-                           ELSE rb END AS rc
+            SELECT *, CASE WHEN q1 = ''
+                           THEN regexp_replace(path0, '/+$', '')
+                           ELSE path0 || '?' || q1 END AS rc
             FROM r2
           ), canon AS (
             SELECT doc_id,
@@ -2256,7 +2263,7 @@ def oracle_sql() -> dict[str, str]:
           ), p AS (
             SELECT doc_id, text, url,
               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS hostraw,
               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
             FROM u
           ), hp AS (
@@ -2267,18 +2274,25 @@ def oracle_sql() -> dict[str, str]:
                            ELSE regexp_replace(hostraw, '^www\.', '') END AS host
             FROM p
           ), r1 AS (
-            SELECT *, regexp_replace(
-              regexp_replace(
-                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
-                '\?&+', '?', 'g'),
-              '&&+', '&', 'g') AS ra
+            SELECT *, regexp_extract(rest0, '^([^?]*)', 1) AS path0,
+              CASE WHEN rest0 LIKE '%?%'
+                   THEN regexp_replace(rest0, '^[^?]*\?', '')
+                   ELSE '' END AS q0
             FROM hp
           ), r2 AS (
-            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace('&' || q0,
+                    '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                  '&&+', '&', 'g'),
+                '^&+', ''),
+              '&+$', '') AS q1
+            FROM r1
           ), r3 AS (
-            SELECT *, CASE WHEN rb NOT LIKE '%?%'
-                           THEN regexp_replace(rb, '/+$', '')
-                           ELSE rb END AS rc
+            SELECT *, CASE WHEN q1 = ''
+                           THEN regexp_replace(path0, '/+$', '')
+                           ELSE path0 || '?' || q1 END AS rc
             FROM r2
           ), canon AS (
             SELECT doc_id, text, url,
@@ -2524,10 +2538,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           ), h AS (
             SELECT doc_id,
-              regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
                 lower(regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                '^www\.', ''), ':[0-9]+$', '') AS host
+                '^[^@]*@', ''), '^www\.', ''), ':[0-9]+$', '') AS host
             FROM u
           ), r AS (
             SELECT doc_id, host,
@@ -2689,7 +2703,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, text, toks, len(toks) AS n,
               length(array_to_string(toks, ' '))
                 - greatest(len(toks) - 1, 0) AS chars,
-              {_sw_count("en")} AS n_sw
+              CASE lang WHEN 'de' THEN {_sw_count("de")} WHEN 'en' THEN {_sw_count("en")} WHEN 'es' THEN {_sw_count("es")} WHEN 'fr' THEN {_sw_count("fr")} WHEN 'it' THEN {_sw_count("it")} WHEN 'nl' THEN {_sw_count("nl")} WHEN 'pl' THEN {_sw_count("pl")} WHEN 'pt' THEN {_sw_count("pt")} WHEN 'sv' THEN {_sw_count("sv")} WHEN 'tr' THEN {_sw_count("tr")} ELSE NULL END AS n_sw
             FROM base
           ), f AS (
             SELECT lang, source, n, length(text) AS raw_chars,
@@ -2714,7 +2728,8 @@ def oracle_sql() -> dict[str, str]:
                  CAST(MAX(n) AS INTEGER) AS max_tokens,
                  CAST(SUM(CASE WHEN n >= 15 AND n <= 100000
                       AND mean_ppm >= 3000000 AND mean_ppm <= 10000000
-                      AND punct_ppm <= 100000 AND n_sw >= 2
+                      AND punct_ppm <= 100000
+                      AND (n_sw IS NULL OR n_sw >= 2)
                       AND dup_ppm <= 600000 THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_quality_pass
           FROM f GROUP BY 1, 2
@@ -2835,7 +2850,7 @@ def oracle_sql() -> dict[str, str]:
           ), p AS (
             SELECT doc_id, crawl_ts, url,
               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+              regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS hostraw,
               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
             FROM u
           ), hp AS (
@@ -2846,18 +2861,25 @@ def oracle_sql() -> dict[str, str]:
                            ELSE regexp_replace(hostraw, '^www\.', '') END AS host
             FROM p
           ), r1 AS (
-            SELECT *, regexp_replace(
-              regexp_replace(
-                regexp_replace(rest0, '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
-                '\?&+', '?', 'g'),
-              '&&+', '&', 'g') AS ra
+            SELECT *, regexp_extract(rest0, '^([^?]*)', 1) AS path0,
+              CASE WHEN rest0 LIKE '%?%'
+                   THEN regexp_replace(rest0, '^[^?]*\?', '')
+                   ELSE '' END AS q0
             FROM hp
           ), r2 AS (
-            SELECT *, regexp_replace(ra, '[?&]+$', '') AS rb FROM r1
+            SELECT *, regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace('&' || q0,
+                    '([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+                  '&&+', '&', 'g'),
+                '^&+', ''),
+              '&+$', '') AS q1
+            FROM r1
           ), r3 AS (
-            SELECT *, CASE WHEN rb NOT LIKE '%?%'
-                           THEN regexp_replace(rb, '/+$', '')
-                           ELSE rb END AS rc
+            SELECT *, CASE WHEN q1 = ''
+                           THEN regexp_replace(path0, '/+$', '')
+                           ELSE path0 || '?' || q1 END AS rc
             FROM r2
           ), canon AS (
             SELECT doc_id, crawl_ts,
@@ -2893,10 +2915,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           ), h AS (
             SELECT doc_id,
-              regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
                 lower(regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                '^www\.', ''), ':[0-9]+$', '') AS host
+                '^[^@]*@', ''), '^www\.', ''), ':[0-9]+$', '') AS host
             FROM u
           )
           SELECT doc_id,

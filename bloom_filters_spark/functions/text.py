@@ -76,14 +76,6 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
-def word_tokens_expr(text: Column) -> Column:
-    """BPE-ish word/punct tokens: runs of word chars or single punct."""
-    return F.filter(
-        F.split(F.regexp_replace(text, r"(\w+|[^\w\s])", "$1"), ""),
-        lambda x: x != F.lit(""),
-    )
-
-
 def _punct_ratio_raw(text: Column) -> Column:
     n = F.length(text)
     np_ = F.length(F.regexp_replace(text, r"[\w\s]", ""))
@@ -91,7 +83,7 @@ def _punct_ratio_raw(text: Column) -> Column:
 
 
 def _stopword_ratio_raw(text: Column, lang: str = "en") -> Column:
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    toks = _tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     n = F.size(toks)
@@ -226,7 +218,7 @@ def _stopword_vote_expr(text: Column) -> Column:
     langs = sorted(STOPWORDS)
     masks = _stopword_vote_masks()
     maxlen = max(len(w) for w in masks)
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+    toks = _tokens(text)
     m = F.create_map(*[F.lit(x) for kv in sorted(masks.items()) for x in kv])
     # length pre-gate: tokens longer than the longest stopword skip the
     # ~96-key literal-map scan entirely (one int compare) — ~20% off the
@@ -492,7 +484,11 @@ def doc_fingerprint_expr(text: Column) -> Column:
 # redactions) are what the shapes minimize.
 PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE_PATTERN = r"\+\d{1,3}[- ]?\d{3,4}[- ]?\d{3,6}\b"
+# 2-4 separator-delimited groups after the country code: covers
+# '+1-555-123-4567' and '+44 20 7946 0958' — the old fixed cc+3+4
+# shape matched only a PREFIX of 4-group numbers, leaving the last
+# digits unredacted ('<PHONE>-4567')
+PII_PHONE_PATTERN = r"\+\d{1,3}(?:[- ]?\d{2,4}){2,4}\b"
 
 _PII_ORDER = (
     (PII_EMAIL_PATTERN, "<EMAIL>"),
@@ -609,11 +605,20 @@ def corpus_report(
     group_cols: tuple = ("lang", "source"),
     text_col: str = "text",
     max_dup_word_ppm: int = 300_000,
+    lang_col: str | None = "lang",
 ):
     """Per-slice corpus health report — the first query a curation run
     executes against a new crawl: document and token volumes plus the
     Gopher-composite pass rate per (lang, source) slice, everything an
     integer so the report is hash-exact cross-engine.
+
+    The stopword gate is per-ROW-language (``lang_col``): each doc is
+    tested against its own language's stopword list — an English-only
+    list would fail essentially every French/German doc and make the
+    per-language pass-rate comparison this report exists for
+    meaningless.  Languages without a STOPWORDS entry (and rows where
+    ``lang_col`` is null) skip the stopword gate rather than fail it;
+    pass ``lang_col=None`` to force the single-language ``'en'`` gate.
 
     One pass, one map-side-combined aggregate on the (small) group
     key — no windows, no joins; at 10^12 docs the output stays
@@ -622,12 +627,29 @@ def corpus_report(
     flags = gopher_flags_exprs(
         F.col(text_col), max_dup_word_ppm=max_dup_word_ppm
     )
+    keep = flags["keep"]
+    if lang_col is not None and lang_col in df.columns:
+        toks = _tokens(F.col(text_col))
+        hits = None
+        for lg in sorted(STOPWORDS):
+            sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+            h = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            cond = F.col(lang_col) == lg
+            hits = F.when(cond, h) if hits is None else hits.when(cond, h)
+        n_sw = hits.otherwise(F.lit(None))
+        ok_sw = n_sw.isNull() | (
+            n_sw >= GOPHER_DEFAULTS["min_stopword_hits"]
+        )
+        keep = (
+            flags["ok_n_tokens"] & flags["ok_mean_word_len"]
+            & flags["ok_punct"] & ok_sw & flags["ok_dup_words"]
+        )
     return (
         df.select(
             *group_cols,
             token_count_expr(F.col(text_col)).alias("_tok"),
             F.length(text_col).alias("_chars"),
-            flags["keep"].cast("long").alias("_keep"),
+            keep.cast("long").alias("_keep"),
         )
         .groupBy(*group_cols)
         .agg(

@@ -33,9 +33,13 @@ TRACKING_RE = r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*"
 
 def host_expr(url: Column) -> Column:
     """Registrable host key for per-domain operators (caps, stats,
-    stratified sampling): lowercase authority with the ``www.`` label
-    and any ``:port`` stripped.  Pure JVM regexp chain (codegen'd)."""
+    stratified sampling): lowercase authority with any ``userinfo@``
+    prefix, the ``www.`` label, and any ``:port`` stripped.  Userinfo
+    must go FIRST: ``http://x@blocked.com/`` would otherwise key on
+    ``x@blocked.com`` and sail past every blocklist and domain cap.
+    Pure JVM regexp chain (codegen'd)."""
     host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     return F.regexp_replace(host, r":[0-9]+$", "")
 
@@ -57,6 +61,9 @@ def host_blocked_expr(url: Column, blocked_hosts) -> Column:
 def canonicalize_url_expr(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    # drop userinfo@ (dedup keys identify the resource, not the
+    # credentials; lowercasing it would also be wrong)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(
         scheme == "http", F.regexp_replace(host, r":80$", "")
@@ -65,15 +72,26 @@ def canonicalize_url_expr(url: Column) -> Column:
     ).otherwise(host)
 
     rest = F.regexp_extract(url, REST_RE, 1)  # path[?query], no fragment
-    # kill tracking params, then normalize separator debris:
-    # "?&id=1" → "?id=1", "a&&b" → "a&b", trailing "?"/"&" dropped
-    rest = F.regexp_replace(rest, TRACKING_RE, "$1")
-    rest = F.regexp_replace(rest, r"\?&+", "?")
-    rest = F.regexp_replace(rest, r"&&+", "&")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # tracking params live in the QUERY only — '&' is a legal path
+    # character, so '/a&ref=b' (no '?') must stay intact, not be
+    # rewritten into the canonical key of the distinct page '/a'
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    # uniform '&'-prefixed params, kill tracking ones, clean debris
+    query = F.regexp_replace(
+        F.concat(F.lit("&"), query), TRACKING_RE, ""
+    )
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&+", "")
+    query = F.regexp_replace(query, r"&+$", "")
+    path = F.when(
+        query == "", F.regexp_replace(path, r"/+$", "")
+    ).otherwise(path)
     rest = F.when(
-        ~rest.contains("?"), F.regexp_replace(rest, r"/+$", "")
-    ).otherwise(rest)
+        query == "", path
+    ).otherwise(F.concat(path, F.lit("?"), query))
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
 
     out = F.concat(scheme, F.lit("://"), host, rest)

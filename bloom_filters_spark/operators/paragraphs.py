@@ -43,15 +43,22 @@ from pyspark.sql import functions as F
 def paragraphs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Explode documents into ``(id, pos, para)`` rows: newline-split,
-    trimmed, empty lines dropped.  ``pos`` is the 0-based line index in
-    the ORIGINAL text, so reassembly preserves source order even after
-    filtering."""
+    """Explode documents into ``(id, pos, para)`` rows: newline-split
+    (``\\r?\\n``, so CRLF corpora don't grow ``\\r``-suffixed phantom
+    paragraphs), edge whitespace trimmed (space/tab/CR — ``F.trim``
+    alone strips only ASCII space), empty lines dropped.  ``pos`` is
+    the 0-based line index in the ORIGINAL text, so reassembly
+    preserves source order even after filtering."""
     return (
         df.select(
-            id_col, F.posexplode(F.split(F.col(text_col), "\n"))
+            id_col, F.posexplode(F.split(F.col(text_col), "\r?\n"))
         )
-        .select(id_col, F.col("pos"), F.trim(F.col("col")).alias("para"))
+        .select(
+            id_col,
+            F.col("pos"),
+            F.regexp_replace(F.col("col"), r"^[ \t\r]+|[ \t\r]+$", "")
+            .alias("para"),
+        )
         .filter(F.col("para") != "")
     )
 

@@ -22,6 +22,23 @@ def test_paragraphs_explode_trim_and_positions(spark):
     assert got == {(1, 0, "a"), (1, 1, "b"), (1, 3, "c")}
 
 
+def test_paragraphs_crlf_equals_lf(spark):
+    """CRLF corpora must not grow '\\r'-suffixed phantom paragraphs:
+    the same text with \\r\\n line endings yields byte-identical
+    paragraph rows (so LF and CRLF copies of a doc dedup together)."""
+    from bloom_filters_spark.operators.paragraphs import paragraphs
+
+    lf = "first para\nsecond para\n\nthird para"
+    crlf = lf.replace("\n", "\r\n") + "\r\n\t \r\n"
+    df = _corpus(spark, [(1, lf), (2, crlf)])
+    rows = {(r["doc_id"], r["pos"], r["para"])
+            for r in paragraphs(df).collect()}
+    p1 = {(p, t) for d, p, t in rows if d == 1}
+    p2 = {(p, t) for d, p, t in rows if d == 2}
+    assert p1 == p2 == {(0, "first para"), (1, "second para"),
+                        (3, "third para")}
+
+
 def test_paragraph_dup_stats_counts_cross_doc_only(spark):
     from bloom_filters_spark.operators.paragraphs import paragraph_dup_stats
 

@@ -21,18 +21,25 @@ def _canon_py(url: str) -> str:
         return re.sub(r"#.*$", "", url)
     scheme = m.group(1).lower()
     host = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url).group(1).lower()
+    host = re.sub(r"^[^@]*@", "", host)
     host = re.sub(r"^www\.", "", host)
     if scheme == "http":
         host = re.sub(r":80$", "", host)
     elif scheme == "https":
         host = re.sub(r":443$", "", host)
     rest = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", url).group(1)
-    rest = re.sub(r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*", r"\1", rest)
-    rest = re.sub(r"\?&+", "?", rest)
-    rest = re.sub(r"&&+", "&", rest)
-    rest = re.sub(r"[?&]+$", "", rest)
-    if "?" not in rest:
-        rest = re.sub(r"/+$", "", rest)
+    path = re.match(r"^([^?]*)", rest).group(1)
+    query = re.sub(r"^[^?]*\?", "", rest) if "?" in rest else ""
+    query = re.sub(
+        r"([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)=[^&#]*", "", "&" + query
+    )
+    query = re.sub(r"&&+", "&", query)
+    query = re.sub(r"^&+", "", query)
+    query = re.sub(r"&+$", "", query)
+    if query == "":
+        rest = re.sub(r"/+$", "", path)
+    else:
+        rest = f"{path}?{query}"
     if rest == "":
         rest = "/"
     return f"{scheme}://{host}{rest}"
@@ -50,6 +57,9 @@ URLS = [
     "ftp://Example.com:443/File",
     "not a url #fragment",
     "https://example.com/a?ref=feed&utm_a=1&utm_b=2",
+    "http://user:pw@Example.com/secret",        # userinfo stripped
+    "http://h.com/a&ref=b",                     # '&' in PATH: not tracking
+    "https://h.com/a&ref=b?utm_x=1",            # path '&' kept, query cleaned
 ]
 
 
@@ -74,6 +84,12 @@ def test_canonicalize_url_specific_cases(spark):
     assert got["not a url #fragment"] == "not a url "
     assert got["https://example.com/a?ref=feed&utm_a=1&utm_b=2"] == \
         "https://example.com/a"
+    # userinfo never reaches the canonical key (or the blocklist)
+    assert got["http://user:pw@Example.com/secret"] == \
+        "http://example.com/secret"
+    # '&' is a legal PATH character: '/a&ref=b' is not a tracking param
+    assert got["http://h.com/a&ref=b"] == "http://h.com/a&ref=b"
+    assert got["https://h.com/a&ref=b?utm_x=1"] == "https://h.com/a&ref=b"
 
 
 def _rep_py(text: str, n: int):
@@ -169,6 +185,25 @@ def test_pii_scrub_each_class(spark):
     # decimals / short dotted versions must NOT be redacted
     assert got[4] == ("no pii here, just 1.5 and version 10.2", 0, 0, 0)
     assert got[5] == ("<EMAIL> at <IP> tel <PHONE>", 1, 1, 1)
+
+
+def test_pii_phone_four_group_numbers_fully_redacted(spark):
+    """4-group international formats must be redacted IN FULL — the
+    old cc+3+4 shape matched only a prefix, leaving '<PHONE>-4567'."""
+    from bloom_filters_spark.functions.text import pii_scrub_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "us +1-555-123-4567 end"),
+        (2, "uk +44 20 7946 0958 end"),
+        (3, "solid +14155551234 end"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["s"] for r in
+           df.select("id", pii_scrub_expr(F.col("t")).alias("s")).collect()}
+    assert got[1] == "us <PHONE> end"
+    assert got[2] == "uk <PHONE> end"
+    assert got[3] == "solid <PHONE> end"
 
 
 def test_pii_patterns_match_duckdb_re2(spark):
@@ -369,6 +404,7 @@ def test_host_blocked_expr(spark):
         (4, "https://notexample.com/x"),         # suffix-string trap: no dot
         (5, "https://example.com.evil.io/x"),    # blocked domain NOT a suffix
         (6, "https://clean.org/x"),
+        (7, "https://evil@example.com/x"),       # userinfo can't mask the host
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {
@@ -378,7 +414,8 @@ def test_host_blocked_expr(spark):
             host_blocked_expr(F.col("url"), ["example.com"]).alias("blocked"),
         ).collect()
     }
-    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False,
+                   7: True}
 
 
 def test_c4_line_stats_each_rule(spark):
