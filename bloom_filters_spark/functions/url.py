@@ -74,11 +74,19 @@ def canonicalize_url_expr(url: Column) -> Column:
     rest = F.regexp_extract(url, REST_RE, 1)  # path[?query], no fragment
     # tracking params live in the QUERY only — '&' is a legal path
     # character, so '/a&ref=b' (no '?') must stay intact, not be
-    # rewritten into the canonical key of the distinct page '/a'
+    # rewritten into the canonical key of the distinct page '/a'.
+    #
+    # The chain below is deliberately LINEAR (each step references its
+    # input exactly once): Catalyst Columns are expression TREES, so a
+    # branching formulation (F.when on a derived query column) inlines
+    # the whole upstream chain once per reference and the generated
+    # code re-evaluates every regexp several times per row — measured
+    # ~1.6x slower on the canonical-clusters query.  \x01 marks the
+    # path/query boundary and \x02 the string start (control chars
+    # cannot appear in a legal URL); no RE2-unsupported lookarounds, so
+    # the DuckDB oracle stays mirrorable.
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
-    query = F.when(
-        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
-    ).otherwise(F.lit(""))
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")  # '' when no '?'
     # uniform '&'-prefixed params, kill tracking ones, clean debris
     query = F.regexp_replace(
         F.concat(F.lit("&"), query), TRACKING_RE, ""
@@ -86,13 +94,14 @@ def canonicalize_url_expr(url: Column) -> Column:
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&+", "")
     query = F.regexp_replace(query, r"&+$", "")
-    path = F.when(
-        query == "", F.regexp_replace(path, r"/+$", "")
-    ).otherwise(path)
-    rest = F.when(
-        query == "", path
-    ).otherwise(F.concat(path, F.lit("?"), query))
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    s = F.concat(path, F.lit("\x01"), query)
+    # query empty (sentinel at end): strip the path's trailing slashes
+    s = F.regexp_replace(s, "/+\x01$", "\x01")
+    s = F.regexp_replace(s, "\x01$", "")    # empty query: drop sentinel
+    s = F.regexp_replace(s, "\x01", "?")    # non-empty: boundary → '?'
+    s = F.concat(F.lit("\x02"), s)
+    s = F.regexp_replace(s, "^\x02$", "/")  # empty rest → '/'
+    rest = F.regexp_replace(s, "^\x02", "")
 
     out = F.concat(scheme, F.lit("://"), host, rest)
     # unparseable (no scheme://): pass through minus fragment
