@@ -575,6 +575,16 @@ def detect_hot_shingles(
     cap = max(1, int(max_doc_freq * n_docs))
     slim = df.select(id_col, text_col)
     n_parts = max(slim.rdd.getNumPartitions(), 1)
+    if n_parts > cap:
+        # cap // n_parts would be 0 and the strict > 0 test below makes
+        # EVERY distinct shingle a candidate — the collect would pull
+        # the whole shingle universe to the driver.  Coalescing the
+        # detection scan to <= cap partitions keeps local_cap >= 1 while
+        # preserving the pigeonhole argument (fewer, larger partitions);
+        # this pass is scan-bound, so the lost parallelism is bounded by
+        # cap, and cap < n_parts only for very aggressive thresholds.
+        n_parts = cap
+        slim = slim.coalesce(n_parts)
     local_cap = cap // n_parts  # STRICT > below ⇒ pigeonhole-complete
     w = shingle_size
     mv = max_value

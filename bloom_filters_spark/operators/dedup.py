@@ -13,18 +13,23 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bloom_filters_spark.functions.text import doc_fingerprint_expr
-from bloom_filters_spark.hashing import xxh64_u64
-from bloom_filters_spark.operators.minhash_spark import exact_jaccard_expr
+from bloom_filters_spark.functions.text import (
+    doc_fingerprint_expr,
+    token_count_expr,
+)
 from bloom_filters_spark.operators.shingles import shingles_expr
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(doc_id, canonical_id): canonical = min doc id among byte-equal
-    normalized texts.  One shuffle (window over the fingerprint).
-    At cluster scale the fingerprint groupBy is the cheapest possible
-    dedup — 8-byte keys, map-side combine."""
+    """(doc_id, canonical_id): canonical = min doc id among docs whose
+    normalized texts share a 64-bit xxhash64 fingerprint.  One shuffle
+    (window over the fingerprint).  At cluster scale the fingerprint
+    groupBy is the cheapest possible dedup — 8-byte keys, map-side
+    combine.  NOTE: equality is by FINGERPRINT, not confirmed
+    byte-compare — at n=10^9 docs expect ~n²/2⁶⁵ ≈ 30 colliding pairs
+    merged wrongly; where collision-freedom matters use the rehash
+    protocol in pipeline.py's URL collapse as the model."""
     w = Window.partitionBy("fp")
     return (
         df.select(id_col, doc_fingerprint_expr(F.col(text_col)).alias("fp"))
@@ -99,7 +104,11 @@ def ngram_jaccard_pairs(
     # cluster first (the parquet scan arrives in few partitions at
     # bench SFs, serializing the expensive expression work)
     par = df.sparkSession.sparkContext.defaultParallelism
-    prepared = df.repartition(par, id_col).select(
+    # token gate BEFORE the projection: the hashed shingle expr pads
+    # token-less docs to ONE empty shingle (greatest(n-w+1,1)), which
+    # would report every pair of empty docs as jaccard 1.0 — the
+    # string path yields [] for them, so gate both paths identically
+    prepared = df.repartition(par, id_col).filter(F.size(toks) > 0).select(
         F.col(id_col),
         F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)).alias("blk"),
         sh.alias("sh"),
@@ -284,8 +293,14 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     64-bit signature into 4 × 16-bit blocks; any pair within Hamming
     distance <= 3 must agree on at least one block → equi-join per block
     (4 shuffles on 16-bit keys), then exact Hamming filter via
-    bit_count(xor).  No O(n^2) comparisons."""
-    sims = simhash_table(df, id_col, text_col)
+    bit_count(xor).  No O(n^2) comparisons.
+
+    Token-less docs (empty/whitespace/null text) are dropped first:
+    they would all hash to signature 0 and report every mutual pair as
+    a hamming-0 duplicate (and pile into one hot join group)."""
+    sims = simhash_table(
+        df.filter(token_count_expr(F.col(text_col)) > 0), id_col, text_col
+    )
     blocks = sims.select(
         id_col,
         "simhash",

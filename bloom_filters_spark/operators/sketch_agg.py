@@ -63,14 +63,22 @@ def _u64_from_split(hi: pd.Series, lo: pd.Series):
 
 
 def _partition_sketches(df: DataFrame, col: str, make, add_batch,
-                        as_u64: bool = False):
-    """mapInPandas: one sketch per partition → rows of sketch JSON bytes."""
+                        as_u64: bool = False, integral_str: bool = False):
+    """mapInPandas: one sketch per partition → rows of sketch JSON bytes.
+
+    ``integral_str``: the column is integral but the sketch's element
+    domain is str (CMS point queries arrive as strings) — normalize
+    through int() first, because a batch containing nulls arrives as
+    float64 and ``str(5.0)`` would silently hash a different element
+    than the query-side ``str(5)``."""
 
     def build(batches):
         sketch = None
         for pdf in batches:
             if as_u64:
                 _, vals = _u64_from_split(pdf[_U64_HI], pdf[_U64_LO])
+            elif integral_str:
+                vals = [str(int(v)) for v in pdf[col].dropna().tolist()]
             else:
                 vals = [str(v) for v in pdf[col].dropna().tolist()]
             if len(vals) == 0:
@@ -240,10 +248,13 @@ def build_xor(df: DataFrame, col: str, bits_per_fingerprint: int = 8,
     from bloom_filters_spark.sketches.xor_filter import XorFilter
 
     raw = _collect_distinct_guarded(df, col, max_keys, "build_xor")
+    # sort: the XOR peeling construction is order-sensitive, and the
+    # distinct() collect order varies run to run — sorting makes the
+    # serialized filter bytes deterministic, like the sibling builders
     if _is_integral(df, col):
-        values = np.array(raw, dtype=np.int64)
+        values = np.sort(np.array(raw, dtype=np.int64))
     else:
-        values = [str(v) for v in raw]
+        values = sorted(str(v) for v in raw)
     return XorFilter.from_items(values, bits_per_fingerprint, seed=seed)
 
 
@@ -455,6 +466,7 @@ def build_cms(df: DataFrame, col: str, error_rate: float = 1e-4,
         col,
         lambda: CountMinSketch.create(error_rate, accuracy, seed),
         lambda s, vals: s.update_batch(vals),
+        integral_str=_is_integral(df, col),
     )
     out = _merge_partials(partials, CountMinSketch)
     return out if out is not None else CountMinSketch.create(error_rate, accuracy, seed)
@@ -529,8 +541,12 @@ def topk_sketch(df: DataFrame, col: str, k: int, error_rate: float = 1e-3,
     # the sketch heap if its CMS overestimate exceeds the true rank-k
     # count; the additive error is < error_rate * n, negligible at the
     # default 1e-3 vs a 10x count margin — same answer, bounded driver.
+    # NULLs are excluded end-to-end: the build side dropna()s them, so
+    # they have no CMS count (and an unfiltered None key would crash
+    # the sorted() below on a nullable column)
     keys = [r["value"] for r in
-            df.groupBy(F.col(col).alias("value"))
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("value"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .orderBy(F.desc("_n"), F.asc("value"))
             .limit(10 * k)
