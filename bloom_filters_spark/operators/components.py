@@ -63,6 +63,15 @@ def _components_driver(edges: DataFrame, vertices: DataFrame | None,
     import pandas as pd
 
     tbl = edges.select("id1", "id2").toArrow()
+    # a null id would arrive as float64 NaN and astype(int64) turns it
+    # into an arbitrary value (typically INT64_MIN), which np.unique
+    # then treats as a real node that can win min-label for a whole
+    # component — refuse loudly instead of emitting wrong clusters
+    if tbl.column("id1").null_count or tbl.column("id2").null_count:
+        raise ValueError(
+            "connected_components: edge ids contain NULLs — filter them "
+            "out upstream (a null endpoint has no meaning in the graph)"
+        )
     a = tbl.column("id1").to_numpy(zero_copy_only=False).astype(np.int64)
     b = tbl.column("id2").to_numpy(zero_copy_only=False).astype(np.int64)
     # dense re-index; np.unique sorts, so smaller index == smaller id and

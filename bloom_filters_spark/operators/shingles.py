@@ -44,7 +44,7 @@ def shingles_expr(
     max_value: int = DEFAULT_MAX_VALUE,
     lowercase: bool = True,
 ) -> Column:
-    """text → distinct array<long> of shingle hashes in [0, max_value].
+    """text → distinct array<long> of shingle hashes in [0, max_value).
 
     MinHash is set-based (the reference folds a *set* of numbers), hence
     ``array_distinct``.
@@ -180,8 +180,12 @@ def token_shingle_set_py(
 
     from bloom_filters_spark.hashing import xxh64
 
+    # match the JVM column EXACTLY: F.lower is Unicode (like Python
+    # str.lower()) but Java \s is ASCII-only — so split on the ASCII
+    # whitespace class (Python's \s would split NBSP/U+2028 where the
+    # JVM keeps them inside a token)
     t = text.lower() if lowercase else text
-    toks = [x for x in re.split(r"\s+", t) if x != ""]
+    toks = [x for x in re.split("[ \t\n\x0b\x0c\r]+", t) if x != ""]
     if not toks:
         return np.zeros(0, dtype=np.uint64)
     th = np.array(
@@ -200,8 +204,12 @@ def shingle_set_py(
     distinct, like array_distinct)."""
     import re
 
+    # match the JVM column EXACTLY: F.lower is Unicode (like Python
+    # str.lower()) but Java \s is ASCII-only — so split on the ASCII
+    # whitespace class (Python's \s would split NBSP/U+2028 where the
+    # JVM keeps them inside a token)
     t = text.lower() if lowercase else text
-    toks = [x for x in re.split(r"\s+", t) if x != ""]
+    toks = [x for x in re.split("[ \t\n\x0b\x0c\r]+", t) if x != ""]
     n = len(toks)
     n_shingles = max(n - w + 1, 1)
     out, seen = [], set()

@@ -161,7 +161,15 @@ class NearDupConfig:
 
 
 def with_shingles(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
-    return df.withColumn(
+    # token gate: shingle_strings_expr pads token-less docs to ONE
+    # shingle (greatest(n-w+1, 1)), so without this filter every
+    # empty/whitespace/null-text doc would share one sentinel shingle
+    # and cluster together at jaccard 1.0 — the arrow and token_hash
+    # impls drop such docs, so the string path must too
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    return df.filter(F.size(toks) > 0).withColumn(
         "shingles",
         shingles_expr(F.col(text_col), cfg.shingle_size, cfg.max_value, cfg.lowercase),
     )

@@ -93,6 +93,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    active = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
+    if active is not None and spark.sparkContext.master != master:
+        # getOrCreate returned the pre-existing session: static confs
+        # (master, cores, shuffle buffers, driver JVM flags) from THIS
+        # call were silently ignored — an A/B harness that relies on
+        # them would measure the old config twice with no error
+        import warnings
+
+        warnings.warn(
+            f"get_spark: an active session with master="
+            f"{spark.sparkContext.master!r} already exists; requested "
+            f"master {master!r} and other static confs were IGNORED — "
+            "stop the old session first for a fresh-config JVM",
+            RuntimeWarning,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
